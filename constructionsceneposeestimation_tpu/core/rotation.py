@@ -1,0 +1,191 @@
+"""Batched rotation math (pure JAX).
+
+Re-implements, with batched/branchless semantics, the rotation utilities of the
+reference generator:
+
+* ``quat_wxyz_from_matrix``  — Shepperd-style matrix->quaternion
+  (reference: generate_construction_data.py:475-504 ``rotMtx2quaternion``).
+* ``euler_xyz_degrees_from_matrix`` — scipy ``Rotation.as_euler('xyz', degrees=True)``
+  semantics used for label rotations
+  (reference: generate_construction_data.py:573-576, 1996-1999).
+* ``orthonormalize`` — SVD rotation clean-up (reference: 573-574).
+
+All functions take a leading batch of any rank; shapes are static and
+jit-friendly (no data-dependent control flow — branches become ``jnp.where``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def quat_wxyz_from_matrix(R: Array) -> Array:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4) in (w, x, y, z).
+
+    Branchless Shepperd method: all four candidate solutions are computed and
+    the numerically-stable one selected, matching the reference's branch
+    structure (trace > 0; else the largest diagonal element).
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    trace = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    # Branch 0: trace > 0
+    s0 = safe_sqrt(trace + 1.0) * 2.0
+    q0 = jnp.stack([0.25 * s0, (m21 - m12) / s0, (m02 - m20) / s0, (m10 - m01) / s0], -1)
+    # Branch 1: m00 largest
+    s1 = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
+    q1 = jnp.stack([(m21 - m12) / s1, 0.25 * s1, (m01 + m10) / s1, (m02 + m20) / s1], -1)
+    # Branch 2: m11 largest
+    s2 = safe_sqrt(1.0 + m11 - m00 - m22) * 2.0
+    q2 = jnp.stack([(m02 - m20) / s2, (m01 + m10) / s2, 0.25 * s2, (m12 + m21) / s2], -1)
+    # Branch 3: m22 largest
+    s3 = safe_sqrt(1.0 + m22 - m00 - m11) * 2.0
+    q3 = jnp.stack([(m10 - m01) / s3, (m02 + m20) / s3, (m12 + m21) / s3, 0.25 * s3], -1)
+
+    cond0 = (trace > 0.0)[..., None]
+    cond1 = ((m00 > m11) & (m00 > m22))[..., None]
+    cond2 = (m11 > m22)[..., None]
+    q = jnp.where(cond0, q0, jnp.where(cond1, q1, jnp.where(cond2, q2, q3)))
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_xyzw_from_matrix(R: Array) -> Array:
+    """Matrix -> quaternion in scipy (x, y, z, w) order (reference emits xyzw
+    in camera_pose, generate_construction_data.py:602-605)."""
+    q = quat_wxyz_from_matrix(R)
+    return jnp.concatenate([q[..., 1:4], q[..., 0:1]], axis=-1)
+
+
+def matrix_from_quat_wxyz(q: Array) -> Array:
+    """Unit quaternion (..., 4) (w, x, y, z) -> rotation matrix (..., 3, 3)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - z * w)
+    r02 = 2 * (x * z + y * w)
+    r10 = 2 * (x * y + z * w)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - x * w)
+    r20 = 2 * (x * z - y * w)
+    r21 = 2 * (y * z + x * w)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], -1),
+            jnp.stack([r10, r11, r12], -1),
+            jnp.stack([r20, r21, r22], -1),
+        ],
+        axis=-2,
+    )
+
+
+def matrix_from_quat_xyzw(q: Array) -> Array:
+    return matrix_from_quat_wxyz(jnp.concatenate([q[..., 3:4], q[..., 0:3]], axis=-1))
+
+
+def quat_mul_wxyz(a: Array, b: Array) -> Array:
+    """Hamilton product a*b of (w,x,y,z) quaternions."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def rotate_vec_wxyz(q: Array, v: Array) -> Array:
+    """Rotate vector(s) v (..., 3) by quaternion q (..., 4) (w,x,y,z)."""
+    qv = q[..., 1:4]
+    w = q[..., 0:1]
+    t = 2.0 * jnp.cross(qv, v)
+    return v + w * t + jnp.cross(qv, t)
+
+
+def matrix_rot_z_degrees(deg: Array) -> Array:
+    """Rz(deg) (..., 3, 3) — the only rotation axis the reference's object
+    randomizer uses (AddRotateZOp, generate_construction_data.py:1031-1049)."""
+    rad = jnp.deg2rad(deg)
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, z], -1),
+            jnp.stack([s, c, z], -1),
+            jnp.stack([z, z, o], -1),
+        ],
+        axis=-2,
+    )
+
+
+def matrix_rot_y_degrees(deg: Array) -> Array:
+    rad = jnp.deg2rad(deg)
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, z, s], -1),
+            jnp.stack([z, o, z], -1),
+            jnp.stack([-s, z, c], -1),
+        ],
+        axis=-2,
+    )
+
+
+def matrix_rot_x_degrees(deg: Array) -> Array:
+    rad = jnp.deg2rad(deg)
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([o, z, z], -1),
+            jnp.stack([z, c, -s], -1),
+            jnp.stack([z, s, c], -1),
+        ],
+        axis=-2,
+    )
+
+
+def euler_xyz_degrees_from_matrix(R: Array) -> Array:
+    """Extrinsic-xyz euler angles in degrees; matches
+    ``scipy.spatial.transform.Rotation.as_euler('xyz', degrees=True)``.
+
+    For extrinsic xyz, R = Rz(c) @ Ry(b) @ Rx(a); the label JSONs store these
+    three angles as ``rotation`` (reference: generate_construction_data.py:576,
+    1999). Gimbal lock (|R[2,0]| ~ 1) resolves with the scipy convention of
+    setting the third angle to zero.
+    """
+    r20 = jnp.clip(R[..., 2, 0], -1.0, 1.0)
+    b = -jnp.arcsin(r20)
+    # Regular case
+    a = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
+    c = jnp.arctan2(R[..., 1, 0], R[..., 0, 0])
+    # Gimbal-locked case: b = +-pi/2; scipy sets angle_3 (here c for extrinsic) = 0
+    gimbal = jnp.abs(r20) > 1.0 - 1e-7
+    a_lock = jnp.arctan2(-R[..., 1, 2], R[..., 1, 1])
+    a = jnp.where(gimbal, a_lock, a)
+    c = jnp.where(gimbal, jnp.zeros_like(c), c)
+    return jnp.rad2deg(jnp.stack([a, b, c], axis=-1))
+
+
+def orthonormalize(M: Array) -> Array:
+    """Project (..., 3, 3) onto the closest orthonormal matrix via SVD (U @ Vt),
+    exactly the clean-up applied to annotator transforms before euler extraction
+    (reference: generate_construction_data.py:573-574)."""
+    U, _, Vt = jnp.linalg.svd(M)
+    return U @ Vt
