@@ -1,0 +1,164 @@
+"""The per-frame annotation pass (pure JAX, fully jittable, vmap-batchable).
+
+Produces every modality the reference's per-frame loop collects
+(generate_construction_data.py:1668-2072) from one ray-cast sweep instead of
+four annotators + settle sleeps:
+
+  rgb            <- camera.get_rgba()                 (1668-1677)
+  depth          <- distance_to_image_plane annotator (1680-1711)
+  pointcloud     <- pointcloud annotator / depth fallback (1715-1768)
+  instance map   <- instance_segmentation (the reference only writes a -1
+                    placeholder mask, 1908-1910; we compute the real thing and
+                    can emit either)
+  visible set    <- bounding_box_3d 'primPaths' (1788-1790)
+  6DoF bbox pose <- bboxDict_to_transform / prim fallback (1912-2032)
+  keypoints/visibility/heatmap targets <- the TPU-build extension
+                    (BASELINE.json north star)
+
+The retry-on-empty-pointcloud loop (reference 1573-1666) becomes the returned
+``pointcloud_count`` validity stat — batched resampling replaces retries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam_mod
+from ..core import transforms
+from ..scene import world as world_mod
+from . import raycast as rc
+from . import shading as sh
+
+Array = jax.Array
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+class FrameAnnotations(NamedTuple):
+    depth: Array  # (H, W) distance to image plane; +inf on sky
+    instance: Array  # (H, W) int32 instance id, -1 ground, -2 sky
+    rgb: Array  # (H, W, 3) uint8 (zeros if shading disabled)
+    camera_pose7: Array  # (7,) [x y z qx qy qz qw]
+    inst_visible: Array  # (O,) bool — any pixel covered (bbox_3d primPaths analogue)
+    inst_pixel_count: Array  # (O,) int32
+    center: Array  # (O, 3) world bbox center
+    size: Array  # (O, 3) world bbox size
+    euler_deg: Array  # (O, 3) extrinsic-xyz degrees
+    kpt_uv: Array  # (O, K, 2) pixel coords
+    kpt_depth: Array  # (O, K) pinhole depth
+    kpt_in_image: Array  # (O, K) bool
+    kpt_visible: Array  # (O, K) bool (in image & not occluded)
+    pointcloud_count: Array  # () int32 — valid-depth pixel count (quality gate)
+
+
+def render_frame(
+    roster: world_mod.Roster,
+    caster,
+    world: Dict[str, Array],
+    cam_pos: Array,
+    target: Array,
+    intr: cam_mod.Intrinsics,
+    lighting: sh.Lighting | None = None,
+    shade_rgb: bool = True,
+    kpt_occlusion_tol: float = 0.02,
+) -> FrameAnnotations:
+    """Annotate a single frame. vmap over (world, cam_pos, target) for batches."""
+    H, W = intr.height, intr.width
+    M = cam_mod.look_at_matrix(cam_pos, target)
+    origin, dirs = cam_mod.pixel_rays(intr, cam_pos, M)
+    rd = dirs.reshape(-1, 3)
+
+    hit = caster(world, origin, rd)
+
+    # Depth: the annotator records distance-to-image-plane (pinhole Z), not
+    # euclidean range: z = t * (d . view_forward).
+    view_fwd = -M[:, 0]  # camera looks along its -X axis
+    cosang = jnp.einsum("nj,j->n", rd, view_fwd)
+    depth = jnp.where(jnp.isfinite(hit["t"]), hit["t"] * cosang, jnp.inf).reshape(H, W)
+    instance = hit["inst"].reshape(H, W)
+
+    if shade_rgb:
+        # Albedo table rows: [0..O) instances, O ground, O+1 sky (unused).
+        albedo_table = jnp.concatenate(
+            [jnp.asarray(roster.inst_albedo),
+             jnp.asarray([[0.45, 0.40, 0.35], [0.0, 0.0, 0.0]], jnp.float32)]
+        )
+        O_ = roster.num_instances
+        alb_idx = jnp.where(hit["inst"] >= 0, hit["inst"], O_ - 1 - hit["inst"])  # -1->O, -2->O+1
+        albedo = albedo_table[alb_idx]
+        lighting = lighting if lighting is not None else sh.default_lighting()
+        rgb = sh.shade(hit, origin, rd, albedo, lighting).reshape(H, W, 3)
+        rgb = sh.linear_to_srgb_u8(rgb)
+    else:
+        rgb = jnp.zeros((H, W, 3), jnp.uint8)
+
+    # Visible-instance set == the bbox_3d annotator's primPaths (1788-1790).
+    O = roster.num_instances
+    one_hot = jax.nn.one_hot(jnp.clip(instance.reshape(-1), 0, O - 1), O, dtype=jnp.int32)
+    one_hot = one_hot * (instance.reshape(-1)[:, None] >= 0)
+    inst_pixel_count = one_hot.sum(0)
+    inst_visible = inst_pixel_count > 0
+
+    # 6DoF bbox labels via the exact reference math path (553-584).
+    inst_rot, inst_pos = world["inst_rot"], world["inst_pos"]
+    T = transforms.make_transform(inst_rot, inst_pos)
+    T_rowmajor = jnp.swapaxes(T, -1, -2)
+    center, size, euler = transforms.bbox_record_to_pose(
+        jnp.asarray(roster.inst_aabb_min), jnp.asarray(roster.inst_aabb_max), T_rowmajor
+    )
+
+    # Keypoints: project, in-image test, occlusion test.
+    kpts_w = world_mod.world_keypoints(roster, inst_rot, inst_pos)  # (O, K, 3)
+    K = kpts_w.shape[-2]
+    flat = kpts_w.reshape(-1, 3)
+    uv, z = cam_mod.project(flat, cam_pos, M, intr)
+    uv = uv.reshape(O, K, 2)
+    z = z.reshape(O, K)
+    in_img = (
+        (z > 0)
+        & (uv[..., 0] >= 0) & (uv[..., 0] < W)
+        & (uv[..., 1] >= 0) & (uv[..., 1] < H)
+        & jnp.asarray(roster.inst_kpt_valid)
+    )
+    # Occlusion: cast cam->kpt, excluding the owning instance; occluded iff a
+    # foreign surface sits at t < 1 (in units of the unnormalized segment).
+    seg = flat - cam_pos[None, :]
+    own = jnp.repeat(jnp.arange(O, dtype=jnp.int32), K)
+    t_occ = rc.occlusion_ts(world, roster, cam_pos, seg, own).reshape(O, K)
+    not_occluded = t_occ > (1.0 - kpt_occlusion_tol)
+    kpt_visible = in_img & not_occluded
+
+    pc_count = jnp.sum(cam_mod.depth_valid_mask(depth)).astype(jnp.int32)
+
+    return FrameAnnotations(
+        depth=depth,
+        instance=instance,
+        rgb=rgb,
+        camera_pose7=cam_mod.camera_pose7_xyzw(cam_pos, target),
+        inst_visible=inst_visible,
+        inst_pixel_count=inst_pixel_count,
+        center=center,
+        size=size,
+        euler_deg=euler,
+        kpt_uv=uv,
+        kpt_depth=z,
+        kpt_in_image=in_img,
+        kpt_visible=kpt_visible,
+        pointcloud_count=pc_count,
+    )
+
+
+def pointcloud_xyzrgb(depth: Array, rgb: Array, intr: cam_mod.Intrinsics,
+                      camera_pose7: Array) -> Dict[str, Array]:
+    """Depth + RGB -> (H*W, 6) xyzrgb with validity mask, using the
+    camera_pose-based backprojection (the reference's fallback path,
+    616-711 — geometrically correct with our emitted camera_pose)."""
+    pts = cam_mod.backproject_depth_reference_quirk(depth, intr, camera_pose7)
+    valid = cam_mod.depth_valid_mask(depth)
+    xyzrgb = jnp.concatenate(
+        [pts.reshape(-1, 3), rgb.reshape(-1, 3).astype(jnp.float32)], axis=-1
+    )
+    return {"xyzrgb": xyzrgb, "valid": valid.reshape(-1)}

@@ -1,0 +1,123 @@
+"""End-to-end frame annotation tests (small-res renders on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from constructionsceneposeestimation_tpu.config import SceneConfig
+from constructionsceneposeestimation_tpu.core import camera
+from constructionsceneposeestimation_tpu.render import annotate, raycast as rc
+from constructionsceneposeestimation_tpu.scene import world as world_mod
+
+CFG = SceneConfig(n_cones=2, n_trees=2, n_fence_panels=8)
+
+
+def make_frame(cam_xyz, tgt_xyz, w=96, h=64, shade=True):
+    roster = world_mod.make_roster(CFG)
+    pose = world_mod.default_pose(roster, CFG)
+    world = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster)
+    intr = camera.intrinsics_from_apertures(12.0, 25.0, w, h)
+    out = annotate.render_frame(
+        roster, caster, world,
+        jnp.asarray(cam_xyz, jnp.float32), jnp.asarray(tgt_xyz, jnp.float32),
+        intr, shade_rgb=shade,
+    )
+    return roster, out, intr
+
+
+def test_depth_and_instance_at_dumper():
+    # Aim at the dumper from its original spot's +x side.
+    roster, out, _ = make_frame([-1.0, -0.59, 1.8], [-7.37, -0.59, 1.8])
+    d0, _ = roster.dumper_slice
+    inst = np.asarray(out.instance)
+    assert (inst == d0).sum() > 20, "dumper must cover pixels"
+    depth = np.asarray(out.depth)
+    center_depth = depth[depth.shape[0] // 2, depth.shape[1] // 2]
+    # Dumper chassis front face is ~4.1 m from the camera (-1 -> -5.12).
+    assert 3.0 < center_depth < 7.0
+    assert bool(out.inst_visible[d0])
+    assert int(out.inst_pixel_count[d0]) == (inst == d0).sum()
+
+
+def test_sky_and_ground_in_instance_map():
+    roster, out, _ = make_frame([8.0, 8.0, 2.0], [0.0, 0.0, 2.0])
+    inst = np.asarray(out.instance)
+    assert (inst == -2).sum() > 0, "sky pixels expected"
+    assert (inst == -1).sum() > 0, "ground pixels expected"
+    assert np.isinf(np.asarray(out.depth)[inst == -2]).all()
+
+
+def test_bbox_labels_match_placement():
+    roster, out, _ = make_frame([6.0, 0.0, 1.8], [0.0, 0.0, 1.8])
+    d0, _ = roster.dumper_slice
+    center = np.asarray(out.center[d0])
+    # Dumper local AABB z: [0, 2.2] at position (-7.37, -0.59, 0).
+    np.testing.assert_allclose(center, [-7.37, -0.59, 1.1], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.size[d0]), [4.5, 2.2, 2.2], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.euler_deg[d0]), [0, 0, 0], atol=1e-3)
+
+
+def test_cone_keypoints_project_and_occlusion():
+    roster, out, intr = make_frame([7.0, 0.0, 1.0], [0.0, 0.0, 1.0])
+    c0, c1 = roster.cone_slice
+    # First cone sits at (4, 0, 0) (default ring, angle 0) - directly in view.
+    uv = np.asarray(out.kpt_uv[c0])
+    vis = np.asarray(out.kpt_visible[c0])
+    in_img = np.asarray(out.kpt_in_image[c0])
+    k = roster.inst_kpt_valid[c0].sum()
+    assert in_img[:k].all(), "cone keypoints should be in image"
+    assert vis[0], "apex should be visible"
+    # The apex (local z=0.7 at world (4,0,0.7)) must project above the base.
+    assert uv[0, 1] < uv[1, 1]
+    # Invalid (padded) keypoints are never visible.
+    assert not vis[k:].any()
+
+
+def test_occluded_keypoints_detected():
+    # Camera on the far side of the crane base looking through it at a cone
+    # placed directly behind.
+    roster, out, intr = make_frame([-7.0, 0.0, 0.3], [4.0, 0.0, 0.3])
+    c0, _ = roster.cone_slice
+    vis = np.asarray(out.kpt_visible[c0])
+    in_img = np.asarray(out.kpt_in_image[c0])
+    # The cone (at x=4, z<=0.7) is behind the crane base footprint (x in
+    # [-1.1, 1.1], z up to 0.5) as seen from z=0.3: base keypoints occluded.
+    k = roster.inst_kpt_valid[c0].sum()
+    assert in_img[:k].any()
+    assert not vis[1], "base_center must be occluded by the crane base"
+
+
+def test_camera_pose_recovers_pointcloud():
+    roster, out, intr = make_frame([6.0, 3.0, 2.0], [0.0, 0.0, 2.0], shade=True)
+    pc = annotate.pointcloud_xyzrgb(out.depth, out.rgb, intr, out.camera_pose7)
+    valid = np.asarray(pc["valid"])
+    pts = np.asarray(pc["xyzrgb"])[valid][:, :3]
+    assert valid.sum() == int(out.pointcloud_count)
+    # Ground-plane points must lie at z ~ 0.
+    inst = np.asarray(out.instance).reshape(-1)[valid]
+    ground_pts = pts[inst == -1]
+    assert len(ground_pts) > 0
+    np.testing.assert_allclose(ground_pts[:, 2], 0.0, atol=2e-2)
+
+
+def test_render_frame_jits_and_vmaps():
+    roster = world_mod.make_roster(CFG)
+    pose = world_mod.default_pose(roster, CFG)
+    world = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster)
+    intr = camera.intrinsics_from_apertures(12.0, 25.0, 64, 48)
+
+    def frame(cam, tgt):
+        return annotate.render_frame(roster, caster, world, cam, tgt, intr, shade_rgb=False)
+
+    cams = jnp.asarray([[6.0, 0.0, 1.8], [0.0, 6.0, 2.5]], jnp.float32)
+    tgts = jnp.zeros((2, 3), jnp.float32).at[:, 2].set(1.8)
+    batched = jax.jit(jax.vmap(frame))(cams, tgts)
+    assert batched.depth.shape == (2, 48, 64)
+    assert batched.kpt_uv.shape[0] == 2
+    # vmapped result row 0 == single call.
+    single = frame(cams[0], tgts[0])
+    np.testing.assert_allclose(
+        np.asarray(batched.depth[0]), np.asarray(single.depth), rtol=1e-3, atol=1e-3
+    )

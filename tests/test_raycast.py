@@ -1,0 +1,171 @@
+"""Analytic ray-caster vs geometric oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from constructionsceneposeestimation_tpu.scene import assets, world as world_mod
+from constructionsceneposeestimation_tpu.render import raycast as rc
+from constructionsceneposeestimation_tpu.config import SceneConfig
+
+
+def single_prim_world(kind, params, pos=(0, 0, 0), rot=None):
+    rot = np.eye(3, dtype=np.float32) if rot is None else np.asarray(rot, np.float32)
+    p4 = list(params) + [0.0] * (4 - len(params))
+    return {
+        "prim_kind": jnp.asarray([kind], jnp.int32),
+        "prim_rot": jnp.asarray(rot)[None],
+        "prim_pos": jnp.asarray(np.asarray(pos, np.float32))[None],
+        "prim_params": jnp.asarray([p4], jnp.float32),
+        "prim_inst": jnp.asarray([0], jnp.int32),
+    }
+
+
+class FakeRoster:
+    def __init__(self, kinds, insts):
+        self.prim_kind = np.asarray(kinds, np.int32)
+        self.prim_inst = np.asarray(insts, np.int32)
+        self.num_prims = len(kinds)
+
+
+def cast_single(kind, params, o, d, pos=(0, 0, 0), rot=None):
+    w = single_prim_world(kind, params, pos, rot)
+    roster = FakeRoster([kind], [0])
+    caster = rc.make_raycaster(roster)
+    d = np.asarray(d, np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    out = caster(w, jnp.asarray(o, jnp.float32), jnp.asarray(d).reshape(-1, 3))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_sphere_hit_and_normal():
+    out = cast_single(assets.SPHERE, [1.0], [5, 0, 0], [[-1, 0, 0]])
+    np.testing.assert_allclose(out["t"], [4.0], atol=1e-5)
+    np.testing.assert_allclose(out["normal"][0], [1, 0, 0], atol=1e-5)
+
+
+def test_sphere_miss():
+    out = cast_single(assets.SPHERE, [1.0], [5, 0, 0], [[0, 1, 0]])
+    assert np.isinf(out["t"][0]) and out["inst"][0] == -2
+
+
+def test_box_hit_faces():
+    out = cast_single(assets.BOX, [1.0, 2.0, 0.5], [10, 0, 0], [[-1, 0, 0]])
+    np.testing.assert_allclose(out["t"], [9.0], atol=1e-5)
+    np.testing.assert_allclose(out["normal"][0], [1, 0, 0], atol=1e-4)
+    out = cast_single(assets.BOX, [1.0, 2.0, 0.5], [0, 0, 10], [[0, 0, -1]])
+    np.testing.assert_allclose(out["t"], [9.5], atol=1e-5)
+    np.testing.assert_allclose(out["normal"][0], [0, 0, 1], atol=1e-4)
+
+
+def test_rotated_box():
+    # 45-degree rotated box: ray along x hits the edge-on diagonal.
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    out = cast_single(assets.BOX, [1.0, 1.0, 1.0], [10, 0, 0], [[-1, 0, 0]], rot=rot)
+    np.testing.assert_allclose(out["t"], [10 - np.sqrt(2)], atol=1e-4)
+
+
+def test_cylinder_side_and_cap():
+    out = cast_single(assets.CYLINDER, [0.5, 1.0], [5, 0, 0], [[-1, 0, 0]])
+    np.testing.assert_allclose(out["t"], [4.5], atol=1e-5)
+    out = cast_single(assets.CYLINDER, [0.5, 1.0], [0.2, 0, 5], [[0, 0, -1]])
+    np.testing.assert_allclose(out["t"], [4.0], atol=1e-5)
+    np.testing.assert_allclose(out["normal"][0], [0, 0, 1], atol=1e-4)
+    # Ray parallel to axis but outside radius: miss.
+    out = cast_single(assets.CYLINDER, [0.5, 1.0], [1.0, 0, 5], [[0, 0, -1]])
+    assert np.isinf(out["t"][0])
+
+
+def test_cone_truncated():
+    # Truncated cone: r 0.5 at z=-1 -> 0.1 at z=+1. Horizontal ray at z=0
+    # should hit at radius 0.3.
+    out = cast_single(assets.CONE, [0.5, 0.1, 1.0], [5, 0, 0], [[-1, 0, 0]])
+    np.testing.assert_allclose(out["t"], [4.7], atol=1e-4)
+    # At z = -0.99 radius ~0.498
+    out = cast_single(assets.CONE, [0.5, 0.1, 1.0], [5, 0, -0.99], [[-1, 0, 0]])
+    np.testing.assert_allclose(out["t"], [5 - (0.5 - 0.4 * 0.005)], atol=1e-3)
+    # From above: bottom/top cap handling — hits top cap within r_top.
+    out = cast_single(assets.CONE, [0.5, 0.1, 1.0], [0.05, 0, 5], [[0, 0, -1]])
+    np.testing.assert_allclose(out["t"], [4.0], atol=1e-4)
+
+
+def test_capsule():
+    out = cast_single(assets.CAPSULE, [0.3, 0.5], [5, 0, 0], [[-1, 0, 0]])
+    np.testing.assert_allclose(out["t"], [4.7], atol=1e-5)
+    # Spherical cap above the segment end.
+    out = cast_single(assets.CAPSULE, [0.3, 0.5], [0, 0, 5], [[0, 0, -1]])
+    np.testing.assert_allclose(out["t"], [5 - 0.8], atol=1e-4)
+    np.testing.assert_allclose(out["normal"][0], [0, 0, 1], atol=1e-4)
+
+
+def test_unnormalized_direction_scale_invariance():
+    # occlusion_ts casts raw (unnormalized) segments: every kind's t must
+    # scale as 1/|d| (regression: sphere/capsule quadratics once assumed |d|=1,
+    # producing false hits from objects meters away).
+    cases = [
+        (assets.SPHERE, [1.0]),
+        (assets.BOX, [1.0, 1.0, 1.0]),
+        (assets.CYLINDER, [0.5, 1.0]),
+        (assets.CONE, [0.5, 0.1, 1.0]),
+        (assets.CAPSULE, [0.3, 0.5]),
+    ]
+    for kind, params in cases:
+        w = single_prim_world(kind, params)
+        roster = FakeRoster([kind], [0])
+        o = jnp.asarray([5.0, 0.05, 0.05], jnp.float32)
+        for scale in (1.0, 4.3):
+            d = jnp.asarray([[-scale, 0.0, 0.0]], jnp.float32)
+            t = rc.occlusion_ts(w, roster, o, d, jnp.asarray([-9], jnp.int32))
+            np.testing.assert_allclose(
+                float(t[0]) * scale, float(
+                    rc.occlusion_ts(w, roster, o, jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32),
+                                    jnp.asarray([-9], jnp.int32))[0]
+                ), rtol=1e-4, err_msg=f"kind={kind} scale={scale}")
+        # And a miss stays a miss regardless of |d|.
+        d_miss = jnp.asarray([[0.0, 0.0, 17.0]], jnp.float32)
+        o_out = jnp.asarray([4.0, 0.0, 5.0], jnp.float32)
+        t = rc.occlusion_ts(w, roster, o_out, d_miss, jnp.asarray([-9], jnp.int32))
+        assert float(t[0]) > 1e9, f"kind={kind} false hit with unnormalized d"
+
+
+def test_plane():
+    out = cast_single(assets.PLANE, [0.0], [0, 0, 3], [[1, 0, -1]])
+    np.testing.assert_allclose(out["t"], [3 * np.sqrt(2)], atol=1e-4)
+    # Looking up: miss.
+    out = cast_single(assets.PLANE, [0.0], [0, 0, 3], [[0, 0, 1]])
+    assert np.isinf(out["t"][0])
+
+
+def test_nearest_of_many_and_instance_ids():
+    roster = world_mod.make_roster(SceneConfig(n_cones=2, n_trees=1, n_fence_panels=4))
+    pose = world_mod.default_pose(roster, SceneConfig(n_cones=2, n_trees=1, n_fence_panels=4))
+    w = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster)
+    # Ray straight down at the dumper location must hit the dumper, not ground.
+    o = jnp.asarray([-7.37, -0.59, 20.0], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    out = caster(w, o, d)
+    d0, _ = roster.dumper_slice
+    assert int(out["inst"][0]) == d0
+    # Down at empty space: ground (-1).
+    o2 = jnp.asarray([-9.5, 8.0, 20.0], jnp.float32)
+    out2 = caster(w, o2, d)
+    assert int(out2["inst"][0]) == -1
+    # t must equal 20 - dumper height at that point (cab top z=2.2).
+    assert 17.0 < float(out["t"][0]) < 20.0
+
+
+def test_occlusion_ts_excludes_own_instance():
+    roster = world_mod.make_roster(SceneConfig(n_cones=1, n_trees=0, n_fence_panels=0))
+    pose = world_mod.default_pose(roster, SceneConfig(n_cones=1, n_trees=0, n_fence_panels=0))
+    w = world_mod.build_world(roster, pose)
+    c0, _ = roster.cone_slice
+    # Segment from above straight to the cone apex: with the cone excluded
+    # nothing blocks; without exclusion the cone itself would.
+    cam = jnp.asarray([4.0, 0.0, 5.0], jnp.float32)
+    apex = jnp.asarray([[4.0, 0.0, 0.7]], jnp.float32)
+    seg = apex - cam
+    t_excl = rc.occlusion_ts(w, roster, cam, seg, jnp.asarray([c0], jnp.int32))
+    assert float(t_excl[0]) > 1.0  # not occluded by itself
+    t_incl = rc.occlusion_ts(w, roster, cam, seg, jnp.asarray([-5], jnp.int32))
+    assert float(t_incl[0]) <= 1.01  # the cone surface itself
