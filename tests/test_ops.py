@@ -1,0 +1,181 @@
+"""Heatmap rasterization, decode, PnP, metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as Rot
+
+from constructionsceneposeestimation_tpu.ops import decode, heatmap, pnp, preprocess
+from constructionsceneposeestimation_tpu.eval import metrics
+
+
+def test_heatmap_reference_peak_and_sigma():
+    uv = jnp.asarray([[32.0, 16.0]])
+    ch = jnp.asarray([2], jnp.int32)
+    vis = jnp.asarray([True])
+    hm = heatmap.render_heatmaps(uv, ch, vis, 4, 32, 64, sigma=2.0)
+    assert hm.shape == (4, 32, 64)
+    assert float(hm[2, 16, 32]) == 1.0
+    # One sigma away: exp(-0.5).
+    np.testing.assert_allclose(float(hm[2, 16, 34]), np.exp(-0.5), atol=1e-5)
+    # Other channels empty.
+    assert float(jnp.max(hm[0])) == 0.0
+
+
+def test_heatmap_max_combination_and_visibility():
+    uv = jnp.asarray([[10.0, 10.0], [12.0, 10.0], [40.0, 20.0]])
+    ch = jnp.asarray([0, 0, 0], jnp.int32)
+    vis = jnp.asarray([True, True, False])
+    hm = heatmap.render_heatmaps(uv, ch, vis, 1, 32, 64, sigma=2.0)
+    # Max, not sum: value at either peak is exactly 1.
+    assert float(hm[0, 10, 10]) == 1.0
+    assert float(hm[0, 10, 12]) == 1.0
+    # Invisible keypoint contributes nothing.
+    assert float(hm[0, 20, 40]) < 1e-4
+
+
+def test_heatmap_pallas_matches_reference():
+    rng = np.random.RandomState(0)
+    n, C, H, W = 40, 8, 64, 128
+    uv = jnp.asarray(rng.uniform(-10, 138, (n, 2)).astype(np.float32))
+    ch = jnp.asarray(rng.randint(0, C, n), jnp.int32)
+    vis = jnp.asarray(rng.rand(n) > 0.3)
+    ref = heatmap.render_heatmaps(uv, ch, vis, C, H, W, sigma=2.0)
+    # Pallas runs in interpreter mode on CPU.
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = heatmap.render_heatmaps_pallas(uv, ch, vis, C, H, W, sigma=2.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_soft_argmax_recovers_peak():
+    uv = jnp.asarray([[40.25, 17.5]])
+    hm = heatmap.render_heatmaps(uv, jnp.asarray([0], jnp.int32),
+                                 jnp.asarray([True]), 1, 64, 96, sigma=2.0)
+    dec, score = decode.soft_argmax(hm)
+    np.testing.assert_allclose(np.asarray(dec)[0], [40.25, 17.5], atol=0.05)
+    assert float(score[0]) > 0.9
+
+
+def test_dark_decode_subpixel():
+    for true in ([40.3, 17.6], [12.75, 30.2], [5.0, 5.0]):
+        hm = heatmap.render_heatmaps(
+            jnp.asarray([true]), jnp.asarray([0], jnp.int32),
+            jnp.asarray([True]), 1, 64, 96, sigma=2.0,
+        )
+        dec, score = decode.dark_decode(hm)
+        err = np.abs(np.asarray(dec)[0] - np.asarray(true))
+        assert err.max() < 0.12, f"true={true} got={np.asarray(dec)[0]}"
+        # DARK beats integer argmax.
+        assert err.max() < 0.5
+
+
+def test_dark_decode_border_peak_safe():
+    hm = heatmap.render_heatmaps(
+        jnp.asarray([[0.0, 0.0]]), jnp.asarray([0], jnp.int32),
+        jnp.asarray([True]), 1, 32, 32, sigma=2.0,
+    )
+    dec, _ = decode.dark_decode(hm)
+    assert np.isfinite(np.asarray(dec)).all()
+    np.testing.assert_allclose(np.asarray(dec)[0], [0.0, 0.0], atol=1.0)
+
+
+def _random_pose(rng):
+    R = Rot.random(random_state=rng.randint(1 << 30)).as_matrix().astype(np.float32)
+    t = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(4, 10)], np.float32)
+    return R, t
+
+
+def test_pnp_exact_recovery():
+    rng = np.random.RandomState(1)
+    X = rng.uniform(-1, 1, (10, 3)).astype(np.float32)
+    R, t = _random_pose(rng)
+    p = X @ R.T + t
+    x = p[:, :2] / p[:, 2:3]
+    res = pnp.solve_pnp(jnp.asarray(X), jnp.asarray(x), jnp.ones(10))
+    assert bool(res.valid)
+    np.testing.assert_allclose(np.asarray(res.R), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=5e-3)
+    assert float(res.rmse) < 1e-4
+
+
+def test_pnp_noisy_and_weighted():
+    rng = np.random.RandomState(2)
+    X = rng.uniform(-1, 1, (17, 3)).astype(np.float32)
+    R, t = _random_pose(rng)
+    p = X @ R.T + t
+    x = (p[:, :2] / p[:, 2:3]).astype(np.float32)
+    x_noisy = x + rng.normal(0, 0.002, x.shape).astype(np.float32)
+    # Corrupt two points but zero their weights.
+    x_noisy[0] += 0.5
+    x_noisy[1] -= 0.5
+    w = np.ones(17, np.float32)
+    w[:2] = 0.0
+    res = pnp.solve_pnp(jnp.asarray(X), jnp.asarray(x_noisy), jnp.asarray(w))
+    ang = Rot.from_matrix(np.asarray(res.R) @ R.T).magnitude() * 180 / np.pi
+    assert ang < 1.0, f"rotation error {ang} deg"
+    # 0.002-rad noise at ~7 m depth gives ~0.1 m translation noise floor
+    # (depth is weakly constrained); the corrupted-but-zero-weighted points
+    # must not blow this up.
+    assert np.linalg.norm(np.asarray(res.t) - t) < 0.12
+
+
+def test_pnp_batched_vmap():
+    rng = np.random.RandomState(3)
+    B = 5
+    Xs, xs, Rs, ts = [], [], [], []
+    for _ in range(B):
+        X = rng.uniform(-1, 1, (8, 3)).astype(np.float32)
+        R, t = _random_pose(rng)
+        p = X @ R.T + t
+        xs.append(p[:, :2] / p[:, 2:3])
+        Xs.append(X)
+        Rs.append(R)
+        ts.append(t)
+    res = jax.vmap(pnp.solve_pnp)(
+        jnp.asarray(np.stack(Xs)), jnp.asarray(np.stack(xs)), jnp.ones((B, 8))
+    )
+    for i in range(B):
+        np.testing.assert_allclose(np.asarray(res.R[i]), Rs[i], atol=2e-3)
+
+
+def test_pnp_insufficient_points_flagged():
+    X = jnp.zeros((8, 3))
+    x = jnp.zeros((8, 2))
+    res = pnp.solve_pnp(X, x, jnp.zeros(8))
+    assert not bool(res.valid)
+    np.testing.assert_allclose(np.asarray(res.R), np.eye(3))
+
+
+def test_pck_metric():
+    gt = jnp.asarray([[[0.0, 0.0], [10.0, 10.0]]])
+    pred = jnp.asarray([[[1.0, 0.0], [30.0, 10.0]]])
+    vis = jnp.asarray([[True, True]])
+    bbox = jnp.asarray([[20.0, 10.0]])
+    # threshold = 0.5*20 = 10: errors 1 (ok) and 20 (fail) -> 0.5
+    assert float(metrics.pck(pred, gt, vis, bbox, alpha=0.5)) == 0.5
+
+
+def test_add_metric_and_accuracy():
+    rng = np.random.RandomState(4)
+    X = jnp.asarray(rng.uniform(-1, 1, (30, 3)).astype(np.float32))
+    R = jnp.eye(3)
+    t = jnp.zeros(3)
+    t2 = jnp.asarray([0.05, 0.0, 0.0])
+    add = metrics.add_metric(R, t2, R, t, X)
+    np.testing.assert_allclose(float(add), 0.05, atol=1e-6)
+    dia = metrics.model_diameter(X)
+    acc = metrics.add_accuracy(add[None], dia[None], jnp.asarray([True]))
+    # diameter ~3+, 0.1d ~ 0.3 > 0.05 -> accurate
+    assert float(acc) == 1.0
+
+
+def test_preprocess_shapes_and_determinism():
+    rgb = jnp.asarray(np.random.RandomState(0).randint(0, 255, (64, 96, 3), np.uint8))
+    k = jax.random.PRNGKey(0)
+    out1 = preprocess.preprocess_frame(k, rgb, 32, 48)
+    out2 = preprocess.preprocess_frame(k, rgb, 32, 48)
+    assert out1.shape == (32, 48, 3)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = preprocess.preprocess_frame(jax.random.PRNGKey(1), rgb, 32, 48)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
