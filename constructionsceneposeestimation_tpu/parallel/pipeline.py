@@ -51,10 +51,15 @@ class FrameBatch(NamedTuple):
 
 @dataclasses.dataclass
 class Pipeline:
-    """Builds the jitted generation step for a fixed Config."""
+    """Builds the jitted generation step for a fixed Config.
+
+    ``vmap_chunk`` bounds peak HBM: frames render ``vmap_chunk`` at a time
+    under a sequential ``lax.map`` (at 512x512 a fully-vmapped batch of 32
+    holds ~24 GB of ray-sweep intermediates — more than a v5e chip)."""
 
     cfg: Config
     use_pallas_heatmaps: bool = False
+    vmap_chunk: int = 4
 
     def __post_init__(self):
         self.roster = world_mod.make_roster(self.cfg.scene)
@@ -121,7 +126,16 @@ class Pipeline:
                 ann, hms = self._one_frame(seed, fid, cams, tgts)
                 return ann, hms
 
-            ann, hms = jax.vmap(one)(frame_ids)
+            B = frame_ids.shape[0]
+            ch = min(self.vmap_chunk, B)
+            if B % ch == 0 and B > ch:
+                chunks = frame_ids.reshape(B // ch, ch)
+                ann, hms = jax.lax.map(lambda f: jax.vmap(one)(f), chunks)
+                ann, hms = jax.tree_util.tree_map(
+                    lambda x: x.reshape((B,) + x.shape[2:]), (ann, hms)
+                )
+            else:
+                ann, hms = jax.vmap(one)(frame_ids)
             if self.use_pallas_heatmaps:
                 uv = ann.kpt_uv.reshape(ann.kpt_uv.shape[0], -1, 2)
                 ch = jnp.asarray(self.roster.inst_kpt_channel).reshape(-1)
