@@ -54,6 +54,19 @@ class FrameAnnotations(NamedTuple):
     pointcloud_count: Array  # () int32 — valid-depth pixel count (quality gate)
 
 
+def screen_space_normals(positions: Array, ray_dirs: Array) -> Array:
+    """World-space normals from finite differences of the hit-position grid
+    (H, W, 3) — replaces the per-ray primitive-gather normal phase, which
+    costs ~10x the whole ray sweep on TPU. Exact on flat interiors; only
+    silhouette pixels differ from analytic normals."""
+    dx = jnp.diff(positions, axis=1, append=positions[:, -1:])
+    dy = jnp.diff(positions, axis=0, append=positions[-1:, :])
+    n = jnp.cross(dy, dx)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    flip = jnp.sum(n * ray_dirs, -1, keepdims=True) > 0
+    return jnp.where(flip, -n, n)
+
+
 def render_frame(
     roster: world_mod.Roster,
     caster,
@@ -64,14 +77,21 @@ def render_frame(
     lighting: sh.Lighting | None = None,
     shade_rgb: bool = True,
     kpt_occlusion_tol: float = 0.02,
+    analytic_normals: bool = False,
 ) -> FrameAnnotations:
-    """Annotate a single frame. vmap over (world, cam_pos, target) for batches."""
+    """Annotate a single frame. vmap over (world, cam_pos, target) for batches.
+
+    Default uses the packed fast ray sweep + screen-space normals;
+    ``analytic_normals=True`` selects the slow exact-normal path."""
     H, W = intr.height, intr.width
     M = cam_mod.look_at_matrix(cam_pos, target)
     origin, dirs = cam_mod.pixel_rays(intr, cam_pos, M)
     rd = dirs.reshape(-1, 3)
 
-    hit = caster(world, origin, rd)
+    if analytic_normals:
+        hit = caster(world, origin, rd)
+    else:
+        hit = caster.fast(world, origin, rd)
 
     # Depth: the annotator records distance-to-image-plane (pinhole Z), not
     # euclidean range: z = t * (d . view_forward).
@@ -81,6 +101,11 @@ def render_frame(
     instance = hit["inst"].reshape(H, W)
 
     if shade_rgb:
+        if "normal" not in hit:
+            t_safe = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
+            positions = (origin[None, :] + t_safe[:, None] * rd).reshape(H, W, 3)
+            normals = screen_space_normals(positions, dirs).reshape(-1, 3)
+            hit = dict(hit, normal=normals)
         # Albedo table rows: [0..O) instances, O ground, O+1 sky (unused).
         albedo_table = jnp.concatenate(
             [jnp.asarray(roster.inst_albedo),
@@ -96,10 +121,12 @@ def render_frame(
         rgb = jnp.zeros((H, W, 3), jnp.uint8)
 
     # Visible-instance set == the bbox_3d annotator's primPaths (1788-1790).
+    # Compare-and-sum fuses into the sweep epilogue (one_hot materializes
+    # ~40 MB/frame of int32 and costs ~10x more).
     O = roster.num_instances
-    one_hot = jax.nn.one_hot(jnp.clip(instance.reshape(-1), 0, O - 1), O, dtype=jnp.int32)
-    one_hot = one_hot * (instance.reshape(-1)[:, None] >= 0)
-    inst_pixel_count = one_hot.sum(0)
+    inst_flat = instance.reshape(-1)
+    eq = inst_flat[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]
+    inst_pixel_count = jnp.sum(eq, axis=0, dtype=jnp.int32)
     inst_visible = inst_pixel_count > 0
 
     # 6DoF bbox labels via the exact reference math path (553-584).

@@ -2,20 +2,25 @@
 reference's Isaac RTX renderer + annotators).
 
 Every scene object is a set of closed-form primitives (scene/assets.py), so a
-"render" is a dense [rays x prims] intersection sweep with static shapes — no
+"render" is a dense [prims x rays] intersection sweep with static shapes — no
 BVH, no divergent control flow, fully fusible by XLA and trivially batchable
 over frames. Primitives are grouped by kind host-side (static index sets from
 the roster) so each kind's formula runs vectorized over exactly its own
 primitives.
 
-All intersections happen in the primitive's local frame: ``ol = R^T (o - p)``,
-``dl = R^T d``; the returned t is world-scale because R is orthonormal.
+Performance notes (v5e measurements):
+* Structure-of-arrays layout in ``(P, N)`` planes — primitives on sublanes,
+  rays on lanes — instead of ``(N, P, 3)`` vectors: trailing-dim-3 tensors
+  tile terribly on the (8, 128) VPU and cost ~5x.
+* All quadratics stay valid for UNNORMALIZED directions (``a != 1``):
+  occlusion queries cast raw segments.
+* f32 throughout: bf16 would put centimeters of noise into depth labels.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,81 +34,87 @@ _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 INF = jnp.float32(1e10)
 EPS = 1e-7
 
+# Component triples: o = (ox, oy, oz) with shape (P, 1); d likewise (P, N).
+Vec3 = Tuple[Array, Array, Array]
 
-def _to_local(ray_o, ray_d, rot, pos):
-    """Shared origin (3,) + rays (N, 3) x prims (P, ...) -> local coords.
 
-    Returns ol (1, P, 3) (broadcasts over rays) and dl (N, P, 3)."""
+def _to_local_soa(ray_o: Array, ray_d: Array, rot: Array, pos: Array):
+    """Shared origin (3,) + rays (N, 3) x prims (P, 3, 3)/(P, 3) ->
+    (ol (P, 1) components, dl (P, N) components)."""
     rel = ray_o[None, :] - pos  # (P, 3)
-    ol = _einsum("pji,pj->pi", rot, rel)[None]
-    dl = _einsum("pji,nj->npi", rot, ray_d)
-    return ol, dl
+    ol = _einsum("pji,pj->pi", rot, rel)  # (P, 3) tiny
+    olx, oly, olz = ol[:, 0:1], ol[:, 1:2], ol[:, 2:3]
+    d0, d1, d2 = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
+    # dl_i[p, n] = sum_j rot[p, j, i] * d[n, j]
+    def comp(i):
+        return (rot[:, 0, i, None] * d0[None, :]
+                + rot[:, 1, i, None] * d1[None, :]
+                + rot[:, 2, i, None] * d2[None, :])
+    return (olx, oly, olz), (comp(0), comp(1), comp(2))
 
 
 def _valid_t(t, cond):
     return jnp.where(cond & (t > EPS), t, INF)
 
 
-def _plane_t(ol, dl, params):
-    dz = dl[..., 2]
-    t = -ol[..., 2] / jnp.where(jnp.abs(dz) < EPS, EPS, dz)
+def _plane_t(o: Vec3, d: Vec3, params):
+    dz = d[2]
+    t = -o[2] / jnp.where(jnp.abs(dz) < EPS, EPS, dz)
     return _valid_t(t, jnp.abs(dz) >= EPS)
 
 
-def _sphere_t(ol, dl, params):
-    # Full quadratic (a != 1): every formula here must stay correct for
-    # UNNORMALIZED directions — occlusion_ts casts raw segments.
-    r = params[..., 0]
-    a = jnp.sum(dl * dl, -1)
-    b = jnp.sum(ol * dl, -1)
-    c = jnp.sum(ol * ol, -1) - r * r
+def _sphere_t(o: Vec3, d: Vec3, params):
+    r = params[:, 0:1]
+    a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    b = o[0] * d[0] + o[1] * d[1] + o[2] * d[2]
+    c = o[0] * o[0] + o[1] * o[1] + o[2] * o[2] - r * r
     a_safe = jnp.maximum(a, EPS)
     disc = b * b - a_safe * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t = (-b - sq) / a_safe
-    return _valid_t(t, disc > 0)
+    return _valid_t((-b - sq) / a_safe, disc > 0)
 
 
-def _box_t(ol, dl, params):
-    h = params[..., :3]
-    inv = 1.0 / jnp.where(jnp.abs(dl) < EPS, EPS, dl)
-    t1 = (-h - ol) * inv
-    t2 = (h - ol) * inv
-    tmin = jnp.max(jnp.minimum(t1, t2), -1)
-    tmax = jnp.min(jnp.maximum(t1, t2), -1)
+def _box_t(o: Vec3, d: Vec3, params):
+    tmin = jnp.full_like(d[0], -INF)
+    tmax = jnp.full_like(d[0], INF)
+    for ax in range(3):
+        h = params[:, ax:ax + 1]
+        inv = 1.0 / jnp.where(jnp.abs(d[ax]) < EPS, EPS, d[ax])
+        t1 = (-h - o[ax]) * inv
+        t2 = (h - o[ax]) * inv
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
     return _valid_t(tmin, (tmax >= tmin) & (tmax > 0))
 
 
-def _cylinder_t(ol, dl, params):
-    r, hh = params[..., 0], params[..., 1]
-    a = dl[..., 0] ** 2 + dl[..., 1] ** 2
-    b = ol[..., 0] * dl[..., 0] + ol[..., 1] * dl[..., 1]
-    c = ol[..., 0] ** 2 + ol[..., 1] ** 2 - r * r
+def _cylinder_t(o: Vec3, d: Vec3, params):
+    r, hh = params[:, 0:1], params[:, 1:2]
+    a = d[0] * d[0] + d[1] * d[1]
+    b = o[0] * d[0] + o[1] * d[1]
+    c = o[0] * o[0] + o[1] * o[1] - r * r
     a_safe = jnp.where(a < EPS, EPS, a)
     disc = b * b - a_safe * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t_side = (-b - sq) / a_safe
-    z_side = ol[..., 2] + t_side * dl[..., 2]
-    t_side = _valid_t(t_side, (disc > 0) & (jnp.abs(z_side) <= hh) & (a >= EPS))
-    # Caps
-    dz = jnp.where(jnp.abs(dl[..., 2]) < EPS, EPS, dl[..., 2])
-    t_caps = []
+    z_side = o[2] + t_side * d[2]
+    t_best = _valid_t(t_side, (disc > 0) & (jnp.abs(z_side) <= hh) & (a >= EPS))
+    dz = jnp.where(jnp.abs(d[2]) < EPS, EPS, d[2])
     for sign in (-1.0, 1.0):
-        t_c = (sign * hh - ol[..., 2]) / dz
-        x = ol[..., 0] + t_c * dl[..., 0]
-        y = ol[..., 1] + t_c * dl[..., 1]
-        t_caps.append(_valid_t(t_c, x * x + y * y <= r * r))
-    return jnp.minimum(t_side, jnp.minimum(*t_caps))
+        t_c = (sign * hh - o[2]) / dz
+        x = o[0] + t_c * d[0]
+        y = o[1] + t_c * d[1]
+        t_best = jnp.minimum(t_best, _valid_t(t_c, x * x + y * y <= r * r))
+    return t_best
 
 
-def _cone_t(ol, dl, params):
-    rb, rt, hh = params[..., 0], params[..., 1], params[..., 2]
+def _cone_t(o: Vec3, d: Vec3, params):
+    rb, rt, hh = params[:, 0:1], params[:, 1:2], params[:, 2:3]
     k = (rt - rb) / (2.0 * hh)
-    q = rb + k * (ol[..., 2] + hh)  # radius at the ray origin's z
-    m = k * dl[..., 2]
-    a = dl[..., 0] ** 2 + dl[..., 1] ** 2 - m * m
-    b = ol[..., 0] * dl[..., 0] + ol[..., 1] * dl[..., 1] - q * m
-    c = ol[..., 0] ** 2 + ol[..., 1] ** 2 - q * q
+    q = rb + k * (o[2] + hh)
+    m = k * d[2]
+    a = d[0] * d[0] + d[1] * d[1] - m * m
+    b = o[0] * d[0] + o[1] * d[1] - q * m
+    c = o[0] * o[0] + o[1] * o[1] - q * q
     a_safe = jnp.where(jnp.abs(a) < EPS, EPS, a)
     disc = b * b - a_safe * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -113,40 +124,34 @@ def _cone_t(ol, dl, params):
     t_hi = jnp.maximum(t1, t2)
 
     def side_ok(t):
-        z = ol[..., 2] + t * dl[..., 2]
+        z = o[2] + t * d[2]
         rad = q + m * t
         return (disc > 0) & (jnp.abs(z) <= hh) & (rad > 0)
 
     t_side = jnp.where(side_ok(t_lo), t_lo, jnp.where(side_ok(t_hi), t_hi, INF))
-    t_side = jnp.where(t_side > EPS, t_side, INF)
-    # Bottom cap (radius rb at z = -hh); the tiny top cap too.
-    dz = jnp.where(jnp.abs(dl[..., 2]) < EPS, EPS, dl[..., 2])
-    t_caps = []
+    t_best = jnp.where(t_side > EPS, t_side, INF)
+    dz = jnp.where(jnp.abs(d[2]) < EPS, EPS, d[2])
     for sign, rr in ((-1.0, rb), (1.0, rt)):
-        t_c = (sign * hh - ol[..., 2]) / dz
-        x = ol[..., 0] + t_c * dl[..., 0]
-        y = ol[..., 1] + t_c * dl[..., 1]
-        t_caps.append(_valid_t(t_c, x * x + y * y <= rr * rr))
-    return jnp.minimum(t_side, jnp.minimum(*t_caps))
+        t_c = (sign * hh - o[2]) / dz
+        x = o[0] + t_c * d[0]
+        y = o[1] + t_c * d[1]
+        t_best = jnp.minimum(t_best, _valid_t(t_c, x * x + y * y <= rr * rr))
+    return t_best
 
 
-def _capsule_t(ol, dl, params):
-    r, hh = params[..., 0], params[..., 1]
-    t_cyl = _cylinder_t(ol, dl, params)  # includes caps, fine as bound
-    # Sphere caps at (0, 0, +-hh)
-    ts = [t_cyl]
-    a = jnp.sum(dl * dl, -1)
+def _capsule_t(o: Vec3, d: Vec3, params):
+    r, hh = params[:, 0:1], params[:, 1:2]
+    t_best = _cylinder_t(o, d, params)
+    a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
     a_safe = jnp.maximum(a, EPS)
     for sign in (-1.0, 1.0):
-        oc = ol - jnp.stack(
-            [jnp.zeros_like(hh), jnp.zeros_like(hh), sign * hh], -1
-        )
-        b = jnp.sum(oc * dl, -1)
-        c = jnp.sum(oc * oc, -1) - r * r
+        ocz = o[2] - sign * hh
+        b = o[0] * d[0] + o[1] * d[1] + ocz * d[2]
+        c = o[0] * o[0] + o[1] * o[1] + ocz * ocz - r * r
         disc = b * b - a_safe * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        ts.append(_valid_t((-b - sq) / a_safe, disc > 0))
-    return jnp.minimum(jnp.minimum(ts[0], ts[1]), ts[2])
+        t_best = jnp.minimum(t_best, _valid_t((-b - sq) / a_safe, disc > 0))
+    return t_best
 
 
 _KIND_FNS = {
@@ -159,33 +164,87 @@ _KIND_FNS = {
 }
 
 
+def _sweep(groups, prim_rot, prim_pos, prim_params, ray_o, ray_d,
+           exclude_inst=None, prim_inst=None):
+    """Min-t sweep over all primitive groups. Returns (t (N,), idx (N,))."""
+    n = ray_d.shape[0]
+    t_best = jnp.full(n, INF)
+    idx_best = jnp.full(n, -1, jnp.int32)
+    for kind, idx in groups:
+        o, d = _to_local_soa(ray_o, ray_d, prim_rot[idx], prim_pos[idx])
+        t = _KIND_FNS[kind](o, d, prim_params[idx])  # (g, N)
+        if exclude_inst is not None:
+            same = prim_inst[idx][:, None] == exclude_inst[None, :]
+            t = jnp.where(same, INF, t)
+        g_min = jnp.min(t, axis=0)
+        g_arg = jnp.argmin(t, axis=0)
+        better = g_min < t_best
+        t_best = jnp.where(better, g_min, t_best)
+        idx_best = jnp.where(better, jnp.asarray(idx, jnp.int32)[g_arg], idx_best)
+    return t_best, idx_best
+
+
+# --- packed fast path -------------------------------------------------------
+# The argmin + per-ray gathers of the generic sweep cost ~10x the sweep
+# itself on TPU. Fast path: steal the low 6 mantissa bits of t for an id
+# payload (instance id + 2), so ONE min-reduction yields both depth and
+# instance — no argmin, no gathers. Relative depth error <= 2^-18 (~4 um at
+# 1 m); positive-float IEEE ordering makes the packed min exact.
+
+_PAYLOAD_BITS = 6
+_PAYLOAD_MASK = (1 << _PAYLOAD_BITS) - 1
+
+
+def _pack(t: Array, code: Array) -> Array:
+    bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+    bits = jnp.bitwise_or(jnp.bitwise_and(bits, ~_PAYLOAD_MASK), code)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _unpack(packed: Array):
+    bits = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    t = jax.lax.bitcast_convert_type(jnp.bitwise_and(bits, ~_PAYLOAD_MASK), jnp.float32)
+    return t, jnp.bitwise_and(bits, _PAYLOAD_MASK)
+
+
+def _sweep_packed(groups, prim_rot, prim_pos, prim_params, prim_codes,
+                  ray_o, ray_d):
+    """Returns (t (N,), code (N,)) — code is the per-prim payload (inst + 2)
+    of the nearest hit, 0 when the ray misses everything."""
+    n = ray_d.shape[0]
+    best = jnp.full(n, INF)
+    for kind, idx in groups:
+        o, d = _to_local_soa(ray_o, ray_d, prim_rot[idx], prim_pos[idx])
+        t = _KIND_FNS[kind](o, d, prim_params[idx])  # (g, N)
+        packed = _pack(t, prim_codes[idx][:, None])
+        best = jnp.minimum(best, jnp.min(packed, axis=0))
+    t, code = _unpack(best)
+    return t, jnp.where(t < INF * 0.99, code, 0)
+
+
 def _local_normal(kind, ol, dl, t, params):
-    """Outward local-frame normal at hit point, branchless over kinds."""
+    """Outward local-frame normal at hit point, branchless over kinds.
+
+    Per-ray (N, 3) inputs here — this phase is O(N), not O(N*P)."""
     p = ol + t[..., None] * dl
-    # plane
     n_plane = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), p.shape)
-    # sphere
     n_sphere = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), EPS)
-    # box: dominant axis of p / h
     h = jnp.maximum(params[..., :3], EPS)
     rel = p / h
     ax = jnp.argmax(jnp.abs(rel), axis=-1)
     n_box = jax.nn.one_hot(ax, 3, dtype=p.dtype) * jnp.sign(
         jnp.take_along_axis(rel, ax[..., None], axis=-1)
     )
-    # cylinder/capsule: side vs cap by |z| closeness
     hh = params[..., 1]
     side = jnp.abs(p[..., 2]) < hh - 1e-4
     radial = jnp.concatenate([p[..., :2], jnp.zeros_like(p[..., :1])], -1)
     radial = radial / jnp.maximum(jnp.linalg.norm(radial, axis=-1, keepdims=True), EPS)
     cap = jnp.stack([jnp.zeros_like(hh), jnp.zeros_like(hh), jnp.sign(p[..., 2])], -1)
     n_cyl = jnp.where(side[..., None], radial, cap)
-    # capsule: radial from nearest segment point
     seg_z = jnp.clip(p[..., 2], -hh, hh)
     seg = jnp.stack([jnp.zeros_like(seg_z), jnp.zeros_like(seg_z), seg_z], -1)
     n_capsule = p - seg
     n_capsule = n_capsule / jnp.maximum(jnp.linalg.norm(n_capsule, axis=-1, keepdims=True), EPS)
-    # cone: slanted side normal (or caps)
     rb, rt, chh = params[..., 0], params[..., 1], params[..., 2]
     kslope = (rt - rb) / (2.0 * jnp.maximum(chh, EPS))
     n_cone_side = jnp.concatenate(
@@ -206,12 +265,11 @@ def _local_normal(kind, ol, dl, t, params):
         jnp.where(kind_b == assets.BOX, n_box,
         jnp.where(kind_b == assets.CYLINDER, n_cyl,
         jnp.where(kind_b == assets.CONE, n_cone, n_capsule)))))
-    # Face the ray.
     flip = jnp.sum(n * dl, -1, keepdims=True) > 0
     return jnp.where(flip, -n, n)
 
 
-def make_raycaster(roster: world_mod.Roster, chunk: int = 8192):
+def make_raycaster(roster: world_mod.Roster, chunk: int = 16384):
     """Build a jittable ray-caster with per-kind primitive groups baked in.
 
     Returns ``cast(world, ray_o (3,), ray_d (N, 3)) -> dict`` with
@@ -220,6 +278,11 @@ def make_raycaster(roster: world_mod.Roster, chunk: int = 8192):
     """
     kinds_np = np.asarray(roster.prim_kind)
     groups = [(int(k), np.nonzero(kinds_np == k)[0]) for k in np.unique(kinds_np)]
+    # Payload codes for the packed fast path: inst + 2 (miss=0, ground=1).
+    prim_codes_np = np.asarray(roster.prim_inst) + 2
+    assert prim_codes_np.max() <= _PAYLOAD_MASK, (
+        f"{prim_codes_np.max()} instances exceed the {_PAYLOAD_BITS}-bit payload; "
+        "raise _PAYLOAD_BITS (costs depth precision) or split the roster")
 
     def cast(world: Dict[str, Array], ray_o: Array, ray_d: Array):
         prim_rot = world["prim_rot"]
@@ -227,20 +290,7 @@ def make_raycaster(roster: world_mod.Roster, chunk: int = 8192):
         prim_params = world["prim_params"]
 
         def chunk_fn(rd):
-            t_best = jnp.full(rd.shape[0], INF)
-            idx_best = jnp.full(rd.shape[0], -1, jnp.int32)
-            for kind, idx in groups:
-                rot = prim_rot[idx]
-                pos = prim_pos[idx]
-                par = prim_params[idx]
-                ol, dl = _to_local(ray_o, rd, rot, pos)
-                t = _KIND_FNS[kind](ol, dl, par[None, :, :])  # (n, g)
-                g_min = jnp.min(t, axis=1)
-                g_arg = jnp.argmin(t, axis=1)
-                better = g_min < t_best
-                t_best = jnp.where(better, g_min, t_best)
-                idx_best = jnp.where(better, jnp.asarray(idx, jnp.int32)[g_arg], idx_best)
-            return t_best, idx_best
+            return _sweep(groups, prim_rot, prim_pos, prim_params, ray_o, rd)
 
         n = ray_d.shape[0]
         if n > chunk and n % chunk == 0:
@@ -271,6 +321,31 @@ def make_raycaster(roster: world_mod.Roster, chunk: int = 8192):
             "normal": normal,
         }
 
+    def cast_fast(world: Dict[str, Array], ray_o: Array, ray_d: Array):
+        """Packed sweep: {t, inst} only — no argmin, no gathers, no normals
+        (use screen-space normals from the depth/position grid for shading).
+        ~15x faster than the full cast on v5e at 512x512."""
+        prim_codes = jnp.asarray(prim_codes_np, jnp.int32)
+
+        def chunk_fn(rd):
+            return _sweep_packed(groups, world["prim_rot"], world["prim_pos"],
+                                 world["prim_params"], prim_codes, ray_o, rd)
+
+        n = ray_d.shape[0]
+        if n > chunk and n % chunk == 0:
+            rd = ray_d.reshape(n // chunk, chunk, 3)
+            t, code = jax.lax.map(chunk_fn, rd)
+            t = t.reshape(n)
+            code = code.reshape(n)
+        else:
+            t, code = chunk_fn(ray_d)
+        hit = t < INF * 0.99
+        return {
+            "t": jnp.where(hit, t, jnp.float32(jnp.inf)),
+            "inst": code - 2,
+        }
+
+    cast.fast = cast_fast
     return cast
 
 
@@ -283,16 +358,8 @@ def occlusion_ts(world: Dict[str, Array], roster: world_mod.Roster,
     ray_d need not be normalized here — pass (kpt - cam); returned t is in
     units of that vector (occluded iff t < 1)."""
     kinds_np = np.asarray(roster.prim_kind)
-    prim_inst = jnp.asarray(roster.prim_inst)
-    t_best = jnp.full(ray_d.shape[0], INF)
-    for kind in np.unique(kinds_np):
-        idx = np.nonzero(kinds_np == kind)[0]
-        rot = world["prim_rot"][idx]
-        pos = world["prim_pos"][idx]
-        par = world["prim_params"][idx]
-        ol, dl = _to_local(ray_o, ray_d, rot, pos)
-        t = _KIND_FNS[int(kind)](ol, dl, par[None, :, :])  # (n, g)
-        same = prim_inst[idx][None, :] == exclude_inst[:, None]
-        t = jnp.where(same, INF, t)
-        t_best = jnp.minimum(t_best, jnp.min(t, axis=1))
-    return t_best
+    groups = [(int(k), np.nonzero(kinds_np == k)[0]) for k in np.unique(kinds_np)]
+    t, _ = _sweep(groups, world["prim_rot"], world["prim_pos"], world["prim_params"],
+                  ray_o, ray_d, exclude_inst=exclude_inst,
+                  prim_inst=jnp.asarray(roster.prim_inst))
+    return t

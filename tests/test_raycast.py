@@ -155,6 +155,27 @@ def test_nearest_of_many_and_instance_ids():
     assert 17.0 < float(out["t"][0]) < 20.0
 
 
+def test_fast_cast_matches_slow():
+    cfg = SceneConfig(n_cones=3, n_trees=2, n_fence_panels=6)
+    roster = world_mod.make_roster(cfg)
+    pose = world_mod.default_pose(roster, cfg)
+    w = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster)
+    rng = np.random.RandomState(0)
+    o = jnp.asarray([9.0, -7.0, 3.0], jnp.float32)
+    d = rng.randn(500, 3).astype(np.float32)
+    d[:, 2] -= 0.5  # bias downward so most rays hit something
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    slow = caster(w, o, jnp.asarray(d))
+    fast = caster.fast(w, o, jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(slow["inst"]), np.asarray(fast["inst"]))
+    ts, tf = np.asarray(slow["t"]), np.asarray(fast["t"])
+    both = np.isfinite(ts) & np.isfinite(tf)
+    assert (np.isfinite(ts) == np.isfinite(tf)).all()
+    # Payload packing steals 6 mantissa bits: <= 2^-18 relative depth error.
+    np.testing.assert_allclose(tf[both], ts[both], rtol=2 ** -17)
+
+
 def test_occlusion_ts_excludes_own_instance():
     roster = world_mod.make_roster(SceneConfig(n_cones=1, n_trees=0, n_fence_panels=0))
     pose = world_mod.default_pose(roster, SceneConfig(n_cones=1, n_trees=0, n_fence_panels=0))
