@@ -40,10 +40,15 @@ def main() -> None:
     batch = gen(seed, jnp.arange(BATCH))
     jax.block_until_ready(batch)
 
+    # Chained timing: each step's frame_ids depend on the previous batch, so
+    # the device MUST execute every step before the final host fetch — naive
+    # async timing under-reports through the axon tunnel, whose
+    # block_until_ready does not reliably cover queued predecessors.
     t0 = time.perf_counter()
     for s in range(STEPS):
-        batch = gen(seed, jnp.arange(s * BATCH, (s + 1) * BATCH))
-    jax.block_until_ready(batch)
+        dep = batch.pointcloud_count[0] * 0
+        batch = gen(seed, jnp.arange(s * BATCH, (s + 1) * BATCH) + dep)
+    float(jnp.sum(batch.pointcloud_count))  # host fetch forces the chain
     dt = (time.perf_counter() - t0) / STEPS
     fps = BATCH / dt
 

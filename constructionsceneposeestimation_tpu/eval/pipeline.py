@@ -1,0 +1,148 @@
+"""End-to-end evaluation pipelines (BASELINE.json configs 3 + 4).
+
+* ``evaluate_decode``: render frames -> GT heatmaps -> DARK/soft-argmax decode
+  -> PCK@alpha against the projected GT keypoints. With GT heatmaps this
+  measures the decode pipeline's own error floor; with model heatmaps it
+  measures the trained network.
+* ``evaluate_equipment_6dof``: decoded equipment keypoints -> batched PnP ->
+  camera-frame pose -> ADD / ADD-0.1d against the ground-truth pose derived
+  from the scene parameters.
+
+Everything stays on-device; only final scalars come back to the host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam_mod
+from ..core import rotation
+from ..ops import decode as decode_ops
+from ..ops import pnp as pnp_ops
+from ..scene import assets
+from . import metrics
+
+Array = jax.Array
+
+
+def decode_heatmaps(heatmaps: Array, stride: float, use_dark: bool = True):
+    """(B, C, h, w) -> uv at full res (B, C, 2), scores (B, C)."""
+    fn = decode_ops.dark_decode if use_dark else decode_ops.soft_argmax
+    uv, score = fn(heatmaps)
+    return uv * stride, score
+
+
+def evaluate_decode(
+    batch, roster, stride: float, alpha: float = 0.5, use_dark: bool = True,
+    score_threshold: float = 0.3,
+) -> Dict[str, Array]:
+    """PCK of decoded heatmap keypoints vs the projected GT (pipeline
+    FrameBatch). Channels are class-level: for multi-instance classes the
+    decoded peak matches ONE instance; PCK counts a keypoint correct if it
+    lands near ANY visible instance's GT for that channel."""
+    uv_dec, score = decode_heatmaps(batch.heatmaps, stride, use_dark)  # (B, C, 2)
+    ch = jnp.asarray(roster.inst_kpt_channel)  # (O, K)
+    gt_uv = batch.kpt_uv  # (B, O, K, 2)
+    gt_vis = batch.kpt_visible  # (B, O, K)
+
+    C = uv_dec.shape[1]
+    # Distance of each decoded channel peak to every GT kpt of that channel.
+    ch_flat = ch.reshape(-1)  # (OK,)
+    gt_flat = gt_uv.reshape(gt_uv.shape[0], -1, 2)  # (B, OK, 2)
+    vis_flat = gt_vis.reshape(gt_vis.shape[0], -1)  # (B, OK)
+    dec_per_kpt = jnp.take(uv_dec, jnp.maximum(ch_flat, 0), axis=1)  # (B, OK, 2)
+    d = jnp.linalg.norm(dec_per_kpt - gt_flat, axis=-1)  # (B, OK)
+    valid = vis_flat & (ch_flat >= 0)[None, :]
+    score_per_kpt = jnp.take(score, jnp.maximum(ch_flat, 0), axis=1)
+
+    # Normalization: object 2D bbox extent from its projected keypoints.
+    span = jnp.where(
+        gt_vis[..., None], gt_uv, jnp.nan
+    )
+    bbox_wh = jnp.nanmax(span, axis=-2) - jnp.nanmin(span, axis=-2)  # (B, O, 2)
+    bbox_size = jnp.nan_to_num(jnp.max(bbox_wh, -1), nan=1.0)  # (B, O)
+    thr = alpha * jnp.repeat(bbox_size, ch.shape[1], axis=-1)  # (B, OK)
+
+    # A channel peak is correct for a GT kpt if within threshold; each GT kpt
+    # is "found" if its channel's peak is close to it OR to a same-channel
+    # twin closer to the peak (class-level channels).
+    correct = (d <= jnp.maximum(thr, 2.0)) & valid & (score_per_kpt >= score_threshold)
+    # Per channel: was the peak near at least one GT instance?
+    n_eval = jnp.sum(valid)
+    # "matched" PCK: for each valid GT kpt, whether some same-channel GT kpt
+    # (possibly itself) is matched — approximated by nearest-GT assignment:
+    return {
+        "pck": jnp.sum(correct) / jnp.maximum(n_eval, 1),
+        "mean_px_error_matched": jnp.sum(jnp.where(correct, d, 0.0)) / jnp.maximum(jnp.sum(correct), 1),
+        "n_keypoints": n_eval,
+    }
+
+
+def gt_camera_frame_pose(roster, batch, inst_index: int):
+    """Ground-truth (R, t) mapping object-local points -> pinhole camera frame
+    for one instance, derived from the emitted labels: p_cam = R_wp^T (R_obj
+    X + t_obj - cam)."""
+    pose7 = batch.camera_pose7
+    R_wp = rotation.matrix_from_quat_xyzw(pose7[..., 3:])  # world-from-pinhole
+    cam = pose7[..., :3]
+    euler = batch.euler_deg[:, inst_index]
+    rx = rotation.matrix_rot_x_degrees(euler[..., 0])
+    ry = rotation.matrix_rot_y_degrees(euler[..., 1])
+    rz = rotation.matrix_rot_z_degrees(euler[..., 2])
+    R_obj = rz @ ry @ rx  # extrinsic xyz
+    # center = R_obj @ aabb_center + t  =>  t_obj = center - R_obj @ c_local
+    c_local = jnp.asarray((roster.inst_aabb_min[inst_index]
+                           + roster.inst_aabb_max[inst_index]) / 2.0)
+    t_obj = batch.center[:, inst_index] - jnp.einsum("...ij,j->...i", R_obj, c_local)
+    R_cam = jnp.swapaxes(R_wp, -1, -2) @ R_obj
+    t_cam = jnp.einsum("...ji,...j->...i", R_wp, t_obj - cam)
+    return R_cam, t_cam
+
+
+def evaluate_equipment_6dof(
+    batch, roster, intr: cam_mod.Intrinsics, class_name: str = "dumper",
+    stride: float = 4.0, use_gt_keypoints: bool = False,
+    heatmaps: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """PnP pose recovery + ADD metrics for one equipment class.
+
+    ``use_gt_keypoints=True`` feeds the projected GT keypoints into PnP (the
+    pipeline's error floor); otherwise decodes ``heatmaps`` (default: the
+    batch's GT heatmaps — decode-floor evaluation)."""
+    # Roster index of the (single) instance of this class.
+    idx = [i for i, n in enumerate(roster.inst_class_names) if n == class_name]
+    assert len(idx) == 1, f"{class_name}: expected exactly one instance"
+    o = idx[0]
+    tpl = assets.all_templates()[class_name]
+    model_pts = jnp.asarray(tpl.keypoints)
+    K = tpl.num_keypoints
+
+    if use_gt_keypoints:
+        uv = batch.kpt_uv[:, o, :K]
+        w = batch.kpt_visible[:, o, :K].astype(jnp.float32)
+    else:
+        hms = heatmaps if heatmaps is not None else batch.heatmaps
+        uv_all, score = decode_heatmaps(hms, stride)
+        ch = jnp.asarray(roster.inst_kpt_channel[o, :K])
+        uv = jnp.take(uv_all, ch, axis=1)
+        sc = jnp.take(score, ch, axis=1)
+        w = jnp.where(sc >= 0.3, sc, 0.0)
+
+    x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
+    B = x.shape[0]
+    res = jax.vmap(pnp_ops.solve_pnp)(
+        jnp.broadcast_to(model_pts, (B,) + model_pts.shape), x, w
+    )
+    R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
+    add = metrics.add_metric(res.R, res.t, R_gt, t_gt, model_pts)
+    dia = metrics.model_diameter(model_pts)
+    valid = res.valid & batch.inst_visible[:, o]
+    return {
+        "add_mean": jnp.sum(jnp.where(valid, add, 0.0)) / jnp.maximum(jnp.sum(valid), 1),
+        "add_0_1d": metrics.add_accuracy(add, dia, valid),
+        "n_valid": jnp.sum(valid),
+        "rmse": jnp.mean(res.rmse),
+    }

@@ -54,11 +54,13 @@ def render_heatmaps(
     return out.at[channel].max(g)
 
 
-def _heatmap_kernel(u_ref, v_ref, ch_ref, vis_ref, out_ref, *, height, width, inv2s2):
+def _heatmap_kernel(u_ref, v_ref, ch_ref, vis_ref, out_ref, *, height, width,
+                    inv2s2, band):
     """Grid = (batch, keypoint). The whole (C, H, W) heatmap for the current
     frame stays resident in VMEM across the keypoint steps; each step lays
-    down one full-plane Gaussian and max-merges it into its channel via a
-    single dynamic-index read-modify-write."""
+    down one Gaussian limited to a ``band``-row window around the keypoint
+    (the Gaussian is numerically zero beyond ~4.25 sigma) and max-merges it
+    into its channel via a dynamic-index read-modify-write."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -72,12 +74,14 @@ def _heatmap_kernel(u_ref, v_ref, ch_ref, vis_ref, out_ref, *, height, width, in
     @pl.when(vis > 0)
     def _():
         ch = ch_ref[0, 0, k]
+        y0 = jnp.clip(v.astype(jnp.int32) - band // 2, 0, height - band)
         # Mosaic requires integer iota; cast after.
-        ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(jnp.float32)
-        xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(jnp.float32)
+        ys = (jax.lax.broadcasted_iota(jnp.int32, (band, width), 0) + y0).astype(jnp.float32)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (band, width), 1).astype(jnp.float32)
         d2 = (xs - u) ** 2 + (ys - v) ** 2
         g = jnp.exp(-d2 * inv2s2)
-        out_ref[0, ch, :, :] = jnp.maximum(out_ref[0, ch, :, :], g)
+        cur = out_ref[0, ch, pl.ds(y0, band), :]
+        out_ref[0, ch, pl.ds(y0, band), :] = jnp.maximum(cur, g)
 
 
 def render_heatmaps_pallas(
@@ -108,8 +112,12 @@ def render_heatmaps_pallas(
     ch = channel.astype(jnp.int32)[:, None, :]
     vis = visible.astype(jnp.float32)[:, None, :]
     inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    # Row window covering +-4.25 sigma (beyond that exp < 1.3e-8 of peak),
+    # rounded to the sublane granule.
+    band = int(min(height, max(8, -((-2 * int(4.25 * sigma + 1)) // 8) * 8)))
 
-    kernel = functools.partial(_heatmap_kernel, height=height, width=width, inv2s2=inv2s2)
+    kernel = functools.partial(_heatmap_kernel, height=height, width=width,
+                               inv2s2=inv2s2, band=band)
     smem = lambda: pl.BlockSpec((1, 1, n), lambda b, k: (b, 0, 0), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,

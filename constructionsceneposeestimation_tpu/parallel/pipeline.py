@@ -24,6 +24,7 @@ from ..ops import heatmap as heatmap_ops
 from ..render import annotate, raycast
 from ..sample import camera_sampler, lighting as lighting_mod, placement
 from ..scene import assets, world as world_mod
+from ..utils import prng
 from . import mesh as mesh_mod
 
 Array = jax.Array
@@ -74,19 +75,20 @@ class Pipeline:
         self.num_channels = assets.NUM_KEYPOINT_CHANNELS
 
     # ---------------- single frame ----------------
-    def _one_frame(self, seed: Array, frame_id: Array, ladder_cam=None, ladder_tgt=None):
+    def _one_frame(self, seed: Array, frame_id: Array, pose=None,
+                   ladder_cam=None, ladder_tgt=None):
         cfg = self.cfg
-        # Scene randomization on the reference cadence: same scene for every
-        # `cadence` consecutive frames (generate_construction_data.py:1542).
-        scene_idx = frame_id // cfg.randomization.cadence_frames
-        k_scene = jax.random.fold_in(jax.random.fold_in(seed, 1), scene_idx)
-        pose, _diag = placement.randomize_scene(
-            k_scene, self.roster, cfg.scene, cfg.randomization,
-            articulate_crane=True,
-        )
+        if pose is None:
+            # Scene randomization on the reference cadence: same scene for
+            # every `cadence` consecutive frames (reference line 1542).
+            k_scene = prng.scene_key(seed, frame_id, cfg.randomization.cadence_frames)
+            pose, _diag = placement.randomize_scene(
+                k_scene, self.roster, cfg.scene, cfg.randomization,
+                articulate_crane=True,
+            )
         world = world_mod.build_world(self.roster, pose)
 
-        k_frame = jax.random.fold_in(jax.random.fold_in(seed, 2), frame_id)
+        k_frame = prng.frame_key(seed, frame_id)
         k_cam, k_light = jax.random.split(k_frame)
         if ladder_cam is not None:
             idx = frame_id % ladder_cam.shape[0]
@@ -122,11 +124,35 @@ class Pipeline:
             cams = tgts = None
 
         def gen(seed: Array, frame_ids: Array) -> FrameBatch:
+            B = frame_ids.shape[0]
+            cfg2 = self.cfg
+            cadence = cfg2.randomization.cadence_frames
+
+            # Scene dedup: consecutive frames share a scene (reference cadence
+            # at line 1542), so sample only the batch's scene groups once and
+            # gather — otherwise placement sampling re-runs identically for
+            # every frame (~3.8 ms each). REQUIRES contiguous frame_ids
+            # (callers pass start + arange(B)); an id outside the batch's
+            # group window would silently get the clamped edge group's scene.
+            n_groups = B // cadence + 2
+            g0 = frame_ids[0] // cadence
+
+            def scene_for_group(g):
+                k = prng.scene_key(seed, g * cadence, cadence)
+                pose, _ = placement.randomize_scene(
+                    k, self.roster, cfg2.scene, cfg2.randomization,
+                    articulate_crane=True,
+                )
+                return pose
+
+            poses = jax.vmap(scene_for_group)(g0 + jnp.arange(n_groups))
+
             def one(fid):
-                ann, hms = self._one_frame(seed, fid, cams, tgts)
+                gidx = jnp.clip(fid // cadence - g0, 0, n_groups - 1)
+                pose = jax.tree_util.tree_map(lambda x: x[gidx], poses)
+                ann, hms = self._one_frame(seed, fid, pose, cams, tgts)
                 return ann, hms
 
-            B = frame_ids.shape[0]
             ch = min(self.vmap_chunk, B)
             if B % ch == 0 and B > ch:
                 chunks = frame_ids.reshape(B // ch, ch)

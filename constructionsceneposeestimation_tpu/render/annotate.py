@@ -88,10 +88,29 @@ def render_frame(
     origin, dirs = cam_mod.pixel_rays(intr, cam_pos, M)
     rd = dirs.reshape(-1, 3)
 
+    # Keypoint-occlusion segments share the camera origin, so they ride the
+    # SAME sweep as the pixel rays (a separate occlusion pass costs ~3.5 ms of
+    # tiny-op dispatch). The packed sweep is direction-scale invariant, so
+    # unnormalized cam->kpt segments give t in segment units directly.
+    O = roster.num_instances
+    inst_rot, inst_pos = world["inst_rot"], world["inst_pos"]
+    kpts_w = world_mod.world_keypoints(roster, inst_rot, inst_pos)  # (O, K, 3)
+    K = kpts_w.shape[-2]
+    kpt_flat = kpts_w.reshape(-1, 3)
+    seg = kpt_flat - cam_pos[None, :]
+    n_px = rd.shape[0]
+    n_seg = seg.shape[0]
+    pad = (-(n_px + n_seg)) % 16384
+    rays_all = jnp.concatenate(
+        [rd, seg, jnp.ones((pad, 3), rd.dtype)], axis=0)
+
     if analytic_normals:
-        hit = caster(world, origin, rd)
+        hit_all = caster(world, origin, rays_all)
     else:
-        hit = caster.fast(world, origin, rd)
+        hit_all = caster.fast(world, origin, rays_all)
+    hit = jax.tree_util.tree_map(lambda x: x[:n_px], hit_all)
+    t_occ = hit_all["t"][n_px:n_px + n_seg]
+    occ_inst = hit_all["inst"][n_px:n_px + n_seg]
 
     # Depth: the annotator records distance-to-image-plane (pinhole Z), not
     # euclidean range: z = t * (d . view_forward).
@@ -123,14 +142,12 @@ def render_frame(
     # Visible-instance set == the bbox_3d annotator's primPaths (1788-1790).
     # Compare-and-sum fuses into the sweep epilogue (one_hot materializes
     # ~40 MB/frame of int32 and costs ~10x more).
-    O = roster.num_instances
     inst_flat = instance.reshape(-1)
     eq = inst_flat[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]
     inst_pixel_count = jnp.sum(eq, axis=0, dtype=jnp.int32)
     inst_visible = inst_pixel_count > 0
 
     # 6DoF bbox labels via the exact reference math path (553-584).
-    inst_rot, inst_pos = world["inst_rot"], world["inst_pos"]
     T = transforms.make_transform(inst_rot, inst_pos)
     T_rowmajor = jnp.swapaxes(T, -1, -2)
     center, size, euler = transforms.bbox_record_to_pose(
@@ -138,10 +155,7 @@ def render_frame(
     )
 
     # Keypoints: project, in-image test, occlusion test.
-    kpts_w = world_mod.world_keypoints(roster, inst_rot, inst_pos)  # (O, K, 3)
-    K = kpts_w.shape[-2]
-    flat = kpts_w.reshape(-1, 3)
-    uv, z = cam_mod.project(flat, cam_pos, M, intr)
+    uv, z = cam_mod.project(kpt_flat, cam_pos, M, intr)
     uv = uv.reshape(O, K, 2)
     z = z.reshape(O, K)
     in_img = (
@@ -150,12 +164,13 @@ def render_frame(
         & (uv[..., 1] >= 0) & (uv[..., 1] < H)
         & jnp.asarray(roster.inst_kpt_valid)
     )
-    # Occlusion: cast cam->kpt, excluding the owning instance; occluded iff a
-    # foreign surface sits at t < 1 (in units of the unnormalized segment).
-    seg = flat - cam_pos[None, :]
+    # Occluded iff the first surface along the segment is FOREIGN and closer
+    # than the keypoint. A first-hit on the owning instance means the keypoint
+    # sits on (or behind) its own surface — not occluded by others.
     own = jnp.repeat(jnp.arange(O, dtype=jnp.int32), K)
-    t_occ = rc.occlusion_ts(world, roster, cam_pos, seg, own).reshape(O, K)
-    not_occluded = t_occ > (1.0 - kpt_occlusion_tol)
+    beyond = t_occ > (1.0 - kpt_occlusion_tol)
+    own_first = occ_inst == own
+    not_occluded = (beyond | own_first).reshape(O, K)
     kpt_visible = in_img & not_occluded
 
     pc_count = jnp.sum(cam_mod.depth_valid_mask(depth)).astype(jnp.int32)

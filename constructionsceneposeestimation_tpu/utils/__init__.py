@@ -1,0 +1,1 @@
+from . import prng, profiling  # noqa: F401
