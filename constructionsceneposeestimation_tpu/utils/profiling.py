@@ -4,19 +4,23 @@ timing there is implicit in asyncio sleeps).
 * ``trace(dir)``: context manager around ``jax.profiler`` emitting a
   TensorBoard-loadable trace of device execution.
 * ``annotate(name)``: named region that shows up inside the trace.
-* ``Stopwatch``: async-dispatch-aware host-side stage timer — submits work
-  without per-call blocking so the axon tunnel's ~25 ms round-trip doesn't
-  pollute measurements (the failure mode that initially hid the renderer's
-  real cost profile).
+* ``chained_ms``: THE reliable throughput measurement — a device-side
+  ``lax.scan`` whose steps are serialized by folding a value derived from the
+  previous result into the next iteration's inputs, with ONE host fetch at
+  the end. Both naive alternatives mis-measure on this stack: async
+  submit-then-block under-reports (the axon tunnel's block_until_ready does
+  not cover queued predecessors) and ``int32 * 0`` fake dependencies get
+  constant-folded by XLA (f32 ``* 0`` survives — inf/nan semantics).
 """
 
 from __future__ import annotations
 
 import contextlib
 import time
-from typing import Callable, Dict, List
+from typing import Callable, Dict
 
 import jax
+import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -33,24 +37,31 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def chained_ms(step_fn: Callable, n: int = 16) -> float:
+    """Per-iteration milliseconds of ``step_fn(acc: f32 scalar) -> f32
+    scalar`` under a genuine sequential chain.
+
+    ``step_fn`` must mix ``acc`` into its computation un-elidably — fold it
+    into a PRNG seed (``jax.random.fold_in(key, acc.astype(int32))``) or add
+    it to f32 data (never ``int * 0``).
+    """
+    run = jax.jit(lambda a: jax.lax.fori_loop(0, n, lambda i, acc: step_fn(acc), a))
+    float(jax.block_until_ready(run(jnp.float32(0.0))))  # compile + warm-up
+    t0 = time.perf_counter()
+    float(jax.block_until_ready(run(jnp.float32(1.0))))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
 class Stopwatch:
-    """Measure steady-state per-call latency of jitted functions by
-    submitting ``n`` async calls and blocking once."""
+    """Named collection of chained measurements."""
 
     def __init__(self):
         self.results: Dict[str, float] = {}
 
-    def measure(self, name: str, fn: Callable, *args, n: int = 20,
-                warmup: int = 1) -> float:
-        for _ in range(warmup):
-            jax.block_until_ready(fn(*args))
-        t0 = time.perf_counter()
-        outs: List = [fn(*args) for _ in range(n)]
-        jax.block_until_ready(outs[-1])
-        dt = (time.perf_counter() - t0) / n
-        self.results[name] = dt
-        return dt
+    def measure(self, name: str, step_fn: Callable, n: int = 16) -> float:
+        ms = chained_ms(step_fn, n)
+        self.results[name] = ms
+        return ms
 
     def report(self) -> str:
-        lines = [f"{k}: {v * 1e3:.3f} ms" for k, v in self.results.items()]
-        return "\n".join(lines)
+        return "\n".join(f"{k}: {v:.3f} ms" for k, v in self.results.items())
