@@ -66,17 +66,77 @@ def cmd_train(args) -> None:
         train=TrainConfig(batch_size=args.batch, steps=args.steps),
     )
     model = pose_net.make_model(lite=args.lite)
-    pipe = pipeline_mod.Pipeline(cfg)
-    step, mesh, place = train_loop.make_sharded_train_step(cfg, model, pipe)
-    state = place(train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed)))
+    pipe = pipeline_mod.Pipeline(
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+    inner = max(1, min(args.inner, args.steps))
+    run = jax.jit(train_loop.make_scanned_train_fn(cfg, model, pipe, inner),
+                  donate_argnums=(0,))
+    state = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed))
     seed = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
-    for s in range(args.steps):
-        fids = jnp.arange(s * args.batch, (s + 1) * args.batch)
-        state, metrics = step(state, seed, fids)
-        if s % max(args.steps // 20, 1) == 0 or s == args.steps - 1:
-            print(f"step {s}: loss={float(metrics['loss']):.5f} "
-                  f"({(s + 1) * args.batch / (time.time() - t0):.1f} img/s)")
+    done = 0
+    while done < args.steps:
+        state, metrics = run(state, seed, jnp.int32(done * args.batch))
+        done += inner
+        print(f"step {done}: loss={float(metrics['loss']):.5f} "
+              f"({done * args.batch / (time.time() - t0):.1f} img/s avg)")
+
+
+def cmd_train_eval(args) -> None:
+    """Train, then evaluate PCK + equipment ADD with the trained model
+    (BASELINE configs 3+4+5 in one command)."""
+    from .config import Config, PipelineConfig, TrainConfig
+    from .eval import pipeline as eval_pipeline
+    from .models import pose_net
+    from .parallel import pipeline as pipeline_mod
+    from .train import loop as train_loop
+
+    cfg = Config(
+        pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
+        train=TrainConfig(batch_size=args.batch, steps=args.steps),
+    )
+    model = pose_net.make_model(lite=args.lite)
+    pipe = pipeline_mod.Pipeline(
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+    inner = max(1, min(args.inner, args.steps))
+    run = jax.jit(train_loop.make_scanned_train_fn(cfg, model, pipe, inner),
+                  donate_argnums=(0,))
+    state = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed))
+    seed = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.time()
+    done = 0
+    while done < args.steps:
+        state, metrics = run(state, seed, jnp.int32(done * args.batch))
+        done += inner
+        print(f"step {done}: loss={float(metrics['loss']):.5f} "
+              f"({done * args.batch / (time.time() - t0):.1f} img/s avg)")
+
+    # Held-out eval: different seed stream.
+    gen = jax.jit(pipe.make_generate_fn(ladder=False))
+    eval_seed = jax.random.PRNGKey(args.seed + 1000)
+    batch = gen(eval_seed, jnp.arange(args.eval_frames))
+    from .ops import preprocess
+    keys = jax.vmap(lambda i: jax.random.fold_in(eval_seed, i))(jnp.arange(args.eval_frames))
+    images = jax.vmap(lambda k, rgb: preprocess.preprocess_frame(
+        k, rgb, args.size, args.size, augment=False))(keys, batch.rgb)
+    hm_pred = pose_net.forward(model, state.params, images)
+    stride = cfg.pipeline.heatmap_stride
+
+    floor = eval_pipeline.evaluate_decode(batch, pipe.roster, stride)
+    pred_batch = batch._replace(heatmaps=hm_pred)
+    pck = eval_pipeline.evaluate_decode(pred_batch, pipe.roster, stride)
+    print(f"decode-floor PCK@0.5: {float(floor['pck']):.3f}  "
+          f"(n={int(floor['n_keypoints'])})")
+    print(f"model PCK@0.5:        {float(pck['pck']):.3f}  "
+          f"mean matched err {float(pck['mean_px_error_matched']):.2f} px")
+    add_gt = eval_pipeline.evaluate_equipment_6dof(
+        batch, pipe.roster, pipe.intr, "dumper", stride, use_gt_keypoints=True)
+    add = eval_pipeline.evaluate_equipment_6dof(
+        batch, pipe.roster, pipe.intr, "dumper", stride, heatmaps=hm_pred)
+    print(f"dumper ADD (GT kpts):    mean {float(add_gt['add_mean']):.3f} m, "
+          f"ADD-0.1d {float(add_gt['add_0_1d']):.3f} (n={int(add_gt['n_valid'])})")
+    print(f"dumper ADD (model kpts): mean {float(add['add_mean']):.3f} m, "
+          f"ADD-0.1d {float(add['add_0_1d']):.3f} (n={int(add['n_valid'])})")
 
 
 def cmd_bench(args) -> None:
@@ -105,7 +165,19 @@ def main() -> None:
     t.add_argument("--size", type=int, default=256)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--lite", action="store_true")
+    t.add_argument("--inner", type=int, default=10,
+                   help="train steps per device dispatch (lax.scan)")
     t.set_defaults(fn=cmd_train)
+
+    te = sub.add_parser("train-eval", help="train then PCK/ADD evaluation")
+    te.add_argument("--steps", type=int, default=1000)
+    te.add_argument("--batch", type=int, default=32)
+    te.add_argument("--size", type=int, default=256)
+    te.add_argument("--seed", type=int, default=0)
+    te.add_argument("--lite", action="store_true")
+    te.add_argument("--inner", type=int, default=50)
+    te.add_argument("--eval-frames", type=int, default=16)
+    te.set_defaults(fn=cmd_train_eval)
 
     b = sub.add_parser("bench", help="headline benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -37,26 +37,29 @@ def decode_heatmaps(heatmaps: Array, stride: float, use_dark: bool = True):
 
 def evaluate_decode(
     batch, roster, stride: float, alpha: float = 0.5, use_dark: bool = True,
-    score_threshold: float = 0.3,
+    score_threshold: float = 0.3, max_peaks: int = 8,
 ) -> Dict[str, Array]:
     """PCK of decoded heatmap keypoints vs the projected GT (pipeline
-    FrameBatch). Channels are class-level: for multi-instance classes the
-    decoded peak matches ONE instance; PCK counts a keypoint correct if it
-    lands near ANY visible instance's GT for that channel."""
-    uv_dec, score = decode_heatmaps(batch.heatmaps, stride, use_dark)  # (B, C, 2)
+    FrameBatch). Channels are class-level and may hold one blob per instance
+    (20 fence panels share a channel), so decoding extracts the top
+    ``max_peaks`` local maxima per channel and each GT keypoint is scored
+    against its nearest above-threshold peak."""
+    uv_pk, sc_pk = decode_ops.extract_peaks(batch.heatmaps, max_peaks)  # (B,C,P,2)
+    uv_pk = uv_pk * stride
     ch = jnp.asarray(roster.inst_kpt_channel)  # (O, K)
     gt_uv = batch.kpt_uv  # (B, O, K, 2)
     gt_vis = batch.kpt_visible  # (B, O, K)
 
-    C = uv_dec.shape[1]
-    # Distance of each decoded channel peak to every GT kpt of that channel.
     ch_flat = ch.reshape(-1)  # (OK,)
     gt_flat = gt_uv.reshape(gt_uv.shape[0], -1, 2)  # (B, OK, 2)
     vis_flat = gt_vis.reshape(gt_vis.shape[0], -1)  # (B, OK)
-    dec_per_kpt = jnp.take(uv_dec, jnp.maximum(ch_flat, 0), axis=1)  # (B, OK, 2)
-    d = jnp.linalg.norm(dec_per_kpt - gt_flat, axis=-1)  # (B, OK)
+    pk_per_kpt = jnp.take(uv_pk, jnp.maximum(ch_flat, 0), axis=1)  # (B, OK, P, 2)
+    sc_per_kpt = jnp.take(sc_pk, jnp.maximum(ch_flat, 0), axis=1)  # (B, OK, P)
+    d_all = jnp.linalg.norm(pk_per_kpt - gt_flat[..., None, :], axis=-1)
+    d_all = jnp.where(sc_per_kpt >= score_threshold, d_all, jnp.inf)
+    d = jnp.min(d_all, axis=-1)  # nearest qualifying peak
     valid = vis_flat & (ch_flat >= 0)[None, :]
-    score_per_kpt = jnp.take(score, jnp.maximum(ch_flat, 0), axis=1)
+    score_per_kpt = jnp.max(sc_per_kpt, -1)
 
     # Normalization: object 2D bbox extent from its projected keypoints.
     span = jnp.where(
@@ -66,14 +69,8 @@ def evaluate_decode(
     bbox_size = jnp.nan_to_num(jnp.max(bbox_wh, -1), nan=1.0)  # (B, O)
     thr = alpha * jnp.repeat(bbox_size, ch.shape[1], axis=-1)  # (B, OK)
 
-    # A channel peak is correct for a GT kpt if within threshold; each GT kpt
-    # is "found" if its channel's peak is close to it OR to a same-channel
-    # twin closer to the peak (class-level channels).
     correct = (d <= jnp.maximum(thr, 2.0)) & valid & (score_per_kpt >= score_threshold)
-    # Per channel: was the peak near at least one GT instance?
     n_eval = jnp.sum(valid)
-    # "matched" PCK: for each valid GT kpt, whether some same-channel GT kpt
-    # (possibly itself) is matched — approximated by nearest-GT assignment:
     return {
         "pck": jnp.sum(correct) / jnp.maximum(n_eval, 1),
         "mean_px_error_matched": jnp.sum(jnp.where(correct, d, 0.0)) / jnp.maximum(jnp.sum(correct), 1),

@@ -56,6 +56,68 @@ def _gaussian_blur_3x3(h: Array) -> Array:
     return k[0] * hp[..., :, :-2] + k[1] * hp[..., :, 1:-1] + k[2] * hp[..., :, 2:]
 
 
+def _dark_refine(logh_flat: Array, py: Array, px: Array, H: int, W: int,
+                 eps: float = 1e-8):
+    """DARK Taylor refinement at integer peak locations.
+
+    logh_flat (..., H*W); py/px (..., K) -> sub-pixel offsets (..., K, 2)."""
+
+    def sample(dy, dx):
+        y = jnp.clip(py + dy, 0, H - 1)
+        x = jnp.clip(px + dx, 0, W - 1)
+        lin = y * W + x
+        return jnp.take_along_axis(logh_flat, lin, -1)
+
+    dx = 0.5 * (sample(0, 1) - sample(0, -1))
+    dy = 0.5 * (sample(1, 0) - sample(-1, 0))
+    dxx = sample(0, 1) - 2.0 * sample(0, 0) + sample(0, -1)
+    dyy = sample(1, 0) - 2.0 * sample(0, 0) + sample(-1, 0)
+    dxy = 0.25 * (sample(1, 1) - sample(1, -1) - sample(-1, 1) + sample(-1, -1))
+    det = dxx * dyy - dxy * dxy
+    det_safe = jnp.where(jnp.abs(det) < eps, jnp.sign(det) * eps + eps, det)
+    off_x = -(dyy * dx - dxy * dy) / det_safe
+    off_y = -(dxx * dy - dxy * dx) / det_safe
+    interior = (px > 0) & (px < W - 1) & (py > 0) & (py < H - 1)
+    sane = (dxx < 0) & (dyy < 0) & (jnp.abs(off_x) < 1.0) & (jnp.abs(off_y) < 1.0)
+    ok = interior & sane
+    return jnp.stack([jnp.where(ok, off_x, 0.0), jnp.where(ok, off_y, 0.0)], -1)
+
+
+def extract_peaks(heatmaps: Array, max_peaks: int = 8, blur: bool = True,
+                  eps: float = 1e-8):
+    """Multi-instance decoding: top-K 3x3 local maxima per channel with DARK
+    sub-pixel refinement.
+
+    Class-level channels carry one blob PER INSTANCE (e.g. 20 fence panels);
+    single-argmax decoding recovers only the strongest. Returns
+    (uv (..., C, K, 2), scores (..., C, K)) sorted by score descending.
+    """
+    *_, H, W = heatmaps.shape
+    if blur:
+        hm = _gaussian_blur_3x3(heatmaps)
+        scale = jnp.max(heatmaps, (-1, -2), keepdims=True) / (
+            jnp.max(hm, (-1, -2), keepdims=True) + eps)
+        hm = hm * scale
+    else:
+        hm = heatmaps
+    # 3x3 max-pool via two separable 3-taps (edge-padded).
+    mp = hm
+    pad = [(0, 0)] * (hm.ndim - 2)
+    mp = jnp.pad(mp, pad + [(1, 1), (0, 0)], mode="edge")
+    mp = jnp.maximum(jnp.maximum(mp[..., :-2, :], mp[..., 1:-1, :]), mp[..., 2:, :])
+    mp = jnp.pad(mp, pad + [(0, 0), (1, 1)], mode="edge")
+    mp = jnp.maximum(jnp.maximum(mp[..., :, :-2], mp[..., :, 1:-1]), mp[..., :, 2:])
+    is_peak = hm >= mp
+    flat = jnp.where(is_peak, hm, 0.0).reshape(hm.shape[:-2] + (H * W,))
+    scores, idx = jax.lax.top_k(flat, max_peaks)
+    py = idx // W
+    px = idx % W
+    logh = jnp.log(jnp.maximum(hm, eps)).reshape(flat.shape)
+    off = _dark_refine(logh, py, px, H, W, eps)
+    uv = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)], -1) + off
+    return uv, scores
+
+
 def dark_decode(heatmaps: Array, blur: bool = True, eps: float = 1e-8):
     """(..., C, H, W) -> (uv (..., C, 2), score (..., C)) with DARK sub-pixel
     refinement. Peaks at the border skip refinement (offset clamped to 0)."""

@@ -100,8 +100,11 @@ def solve_pnp(
     weights: Array,  # (N,) >= 0
     iters: int = 8,
     damping: float = 1e-4,
-    min_weight_sum: float = 4.0,
+    min_weight_sum: float = 6.0,
 ) -> PnPResult:
+    # min_weight_sum >= 6: the DLT system needs 6 correspondences for a
+    # unique projective solution; 4-5 points yield garbage initializations
+    # that Gauss-Newton cannot recover from (observed as ~8 m ADD outliers).
     """DLT + Gauss-Newton. vmap over leading batch dims for fleets of objects."""
     wsum = jnp.sum(weights, -1)
     valid = wsum >= min_weight_sum

@@ -18,6 +18,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: call once per host before building the mesh.
+
+    With no arguments JAX auto-detects the TPU pod environment (megascale /
+    GKE metadata); explicit args cover manual clusters. After this,
+    ``make_mesh()`` sees every chip of every host and the same jitted
+    programs shard over ICI+DCN with no further code changes (per-frame
+    independence means datagen never communicates; training psums gradients).
+    """
+    import jax.distributed
+
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None, axes: Sequence[str] = (DATA_AXIS,)) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

@@ -78,6 +78,7 @@ def render_frame(
     shade_rgb: bool = True,
     kpt_occlusion_tol: float = 0.02,
     analytic_normals: bool = False,
+    sun_shadows: bool = False,
 ) -> FrameAnnotations:
     """Annotate a single frame. vmap over (world, cam_pos, target) for batches.
 
@@ -134,7 +135,20 @@ def render_frame(
         alb_idx = jnp.where(hit["inst"] >= 0, hit["inst"], O_ - 1 - hit["inst"])  # -1->O, -2->O+1
         albedo = albedo_table[alb_idx]
         lighting = lighting if lighting is not None else sh.default_lighting()
-        rgb = sh.shade(hit, origin, rd, albedo, lighting).reshape(H, W, 3)
+        shadow_t = None
+        if sun_shadows:
+            # One packed sweep from the hit points toward the sun. Shadow-ray
+            # origins differ per pixel, so this can't ride the camera sweep;
+            # it costs roughly one extra sweep (~1.5 ms at 512x512).
+            t_safe2 = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
+            p_hit = origin[None, :] + t_safe2[:, None] * rd
+            sun_d = -lighting.sun_dir  # toward the sun
+            bias = 1e-3
+            shadow_hit = caster.fast_multi_origin(
+                world, p_hit + sun_d[None, :] * bias,
+                jnp.broadcast_to(sun_d, p_hit.shape))
+            shadow_t = shadow_hit["t"]
+        rgb = sh.shade(hit, origin, rd, albedo, lighting, shadow_t).reshape(H, W, 3)
         rgb = sh.linear_to_srgb_u8(rgb)
     else:
         rgb = jnp.zeros((H, W, 3), jnp.uint8)

@@ -207,6 +207,40 @@ def _unpack(packed: Array):
     return t, jnp.bitwise_and(bits, _PAYLOAD_MASK)
 
 
+def _to_local_soa_multi(ray_o: Array, ray_d: Array, rot: Array, pos: Array):
+    """Per-ray origins variant: both o and d become (P, N) component planes
+    (2x the transform cost of the shared-origin path; used by shadow rays)."""
+    rel = (ray_o[:, 0][None, :] - pos[:, 0][:, None],
+           ray_o[:, 1][None, :] - pos[:, 1][:, None],
+           ray_o[:, 2][None, :] - pos[:, 2][:, None])
+    d = (ray_d[:, 0], ray_d[:, 1], ray_d[:, 2])
+
+    def comp(v, i, per_ray):
+        if per_ray:
+            return (rot[:, 0, i, None] * v[0] + rot[:, 1, i, None] * v[1]
+                    + rot[:, 2, i, None] * v[2])
+        return (rot[:, 0, i, None] * v[0][None, :] + rot[:, 1, i, None] * v[1][None, :]
+                + rot[:, 2, i, None] * v[2][None, :])
+
+    ol = tuple(comp(rel, i, True) for i in range(3))
+    dl = tuple(comp(d, i, False) for i in range(3))
+    return ol, dl
+
+
+def _sweep_packed_multi(groups, prim_rot, prim_pos, prim_params, prim_codes,
+                        ray_o, ray_d):
+    """Packed sweep with per-ray origins (N, 3)."""
+    n = ray_d.shape[0]
+    best = jnp.full(n, INF)
+    for kind, idx in groups:
+        o, d = _to_local_soa_multi(ray_o, ray_d, prim_rot[idx], prim_pos[idx])
+        t = _KIND_FNS[kind](o, d, prim_params[idx])
+        packed = _pack(t, prim_codes[idx][:, None])
+        best = jnp.minimum(best, jnp.min(packed, axis=0))
+    t, code = _unpack(best)
+    return t, jnp.where(t < INF * 0.99, code, 0)
+
+
 def _sweep_packed(groups, prim_rot, prim_pos, prim_params, prim_codes,
                   ray_o, ray_d):
     """Returns (t (N,), code (N,)) — code is the per-prim payload (inst + 2)
@@ -345,7 +379,32 @@ def make_raycaster(roster: world_mod.Roster, chunk: int = 16384):
             "inst": code - 2,
         }
 
+    def cast_fast_multi_origin(world: Dict[str, Array], ray_o: Array, ray_d: Array):
+        """Packed sweep with PER-RAY origins (N, 3) — shadow/secondary rays."""
+        prim_codes = jnp.asarray(prim_codes_np, jnp.int32)
+
+        def chunk_fn(args):
+            ro, rd = args
+            return _sweep_packed_multi(groups, world["prim_rot"], world["prim_pos"],
+                                       world["prim_params"], prim_codes, ro, rd)
+
+        n = ray_d.shape[0]
+        if n > chunk and n % chunk == 0:
+            ro = ray_o.reshape(n // chunk, chunk, 3)
+            rd = ray_d.reshape(n // chunk, chunk, 3)
+            t, code = jax.lax.map(chunk_fn, (ro, rd))
+            t = t.reshape(n)
+            code = code.reshape(n)
+        else:
+            t, code = chunk_fn((ray_o, ray_d))
+        hit = t < INF * 0.99
+        return {
+            "t": jnp.where(hit, t, jnp.float32(jnp.inf)),
+            "inst": code - 2,
+        }
+
     cast.fast = cast_fast
+    cast.fast_multi_origin = cast_fast_multi_origin
     return cast
 
 

@@ -82,6 +82,28 @@ def make_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     return step
 
 
+def make_scanned_train_fn(cfg: Config, model, pipe: pipeline_mod.Pipeline,
+                          inner_steps: int = 10):
+    """``run(state, seed, start_frame) -> (state, last_metrics)`` executing
+    ``inner_steps`` train steps in one device program (lax.scan) — one host
+    dispatch per ``inner_steps`` steps. Essential through high-latency
+    dispatch paths (the axon tunnel costs 25-400 ms per host call)."""
+    step = make_train_step(cfg, model, pipe)
+    B = cfg.train.batch_size
+
+    def run(state: TrainState, seed: Array, start_frame: Array):
+        def body(carry, i):
+            st = carry
+            fids = start_frame + i * B + jnp.arange(B)
+            st, metrics = step(st, seed, fids)
+            return st, metrics
+        state, metrics = jax.lax.scan(body, state, jnp.arange(inner_steps))
+        last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+        return state, last
+
+    return run
+
+
 def make_sharded_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline, mesh=None):
     """jit the train step over the mesh: batch sharded on 'data', params
     replicated (or FSDP-sharded when cfg.train.fsdp)."""

@@ -1,0 +1,87 @@
+"""Checkpoint save/restore, scanned train fn, prng streams, profiling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from constructionsceneposeestimation_tpu.config import Config, PipelineConfig, SceneConfig, TrainConfig
+from constructionsceneposeestimation_tpu.models import pose_net
+from constructionsceneposeestimation_tpu.parallel import pipeline as pipeline_mod
+from constructionsceneposeestimation_tpu.train import checkpoint, loop as train_loop
+from constructionsceneposeestimation_tpu.utils import prng, profiling
+
+TINY = Config(
+    scene=SceneConfig(n_cones=1, n_trees=0, n_fence_panels=4),
+    pipeline=PipelineConfig(render_width=64, render_height=64),
+    train=TrainConfig(batch_size=4, steps=4, warmup_steps=1),
+)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = pose_net.make_model(lite=True)
+    state = train_loop.create_train_state(TINY, model, jax.random.PRNGKey(0))
+    mgr = checkpoint.CheckpointManager(str(tmp_path / "ckpt"), save_every=1)
+    state = state._replace(step=jnp.int32(5))
+    assert mgr.maybe_save(state, force=True)
+    assert mgr.latest_step() == 5
+    template = train_loop.create_train_state(TINY, model, jax.random.PRNGKey(1))
+    restored = mgr.restore(template)
+    assert int(restored.step) == 5
+    leaves_a = jax.tree_util.tree_leaves(state.params)
+    leaves_b = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_checkpoint_save_every(tmp_path):
+    model = pose_net.make_model(lite=True)
+    state = train_loop.create_train_state(TINY, model, jax.random.PRNGKey(0))
+    mgr = checkpoint.CheckpointManager(str(tmp_path / "c"), save_every=10)
+    assert not mgr.maybe_save(state._replace(step=jnp.int32(5)))
+    assert mgr.maybe_save(state._replace(step=jnp.int32(10)))
+    mgr.close()
+
+
+def test_scanned_train_matches_stepwise():
+    model = pose_net.make_model(lite=True)
+    pipe = pipeline_mod.Pipeline(TINY)
+    seed = jax.random.PRNGKey(7)
+    s0 = train_loop.create_train_state(TINY, model, jax.random.PRNGKey(0))
+    step = jax.jit(train_loop.make_train_step(TINY, model, pipe))
+    sA = s0
+    for i in range(3):
+        fids = jnp.int32(0) + i * 4 + jnp.arange(4)
+        sA, mA = step(sA, seed, fids)
+    run = jax.jit(train_loop.make_scanned_train_fn(TINY, model, pipe, inner_steps=3))
+    sB, mB = run(s0, seed, jnp.int32(0))
+    assert int(sA.step) == int(sB.step) == 3
+    la = jax.tree_util.tree_leaves(sA.params)
+    lb = jax.tree_util.tree_leaves(sB.params)
+    # scan vs unrolled fuse reductions differently: bitwise equality does not
+    # hold, but three adamw steps must agree to ~1e-3.
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_prng_streams_disjoint():
+    seed = jax.random.PRNGKey(0)
+    a = prng.scene_key(seed, 5, 10)
+    b = prng.frame_key(seed, 0)
+    c = prng.scene_key(seed, 15, 10)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    # Frames in the same cadence group share the scene key.
+    np.testing.assert_array_equal(
+        np.asarray(prng.scene_key(seed, 11, 10)), np.asarray(prng.scene_key(seed, 19, 10)))
+
+
+def test_chained_ms_measures():
+    def stepf(acc):
+        k = jax.random.fold_in(jax.random.PRNGKey(0), acc.astype(jnp.int32))
+        return acc + jnp.sum(jax.random.uniform(k, (64, 64))) * 1e-9
+    ms = profiling.chained_ms(stepf, n=4)
+    assert ms > 0
+    sw = profiling.Stopwatch()
+    sw.measure("tiny", stepf, n=2)
+    assert "tiny" in sw.report()

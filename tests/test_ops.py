@@ -70,6 +70,23 @@ def test_dark_decode_subpixel():
         assert err.max() < 0.5
 
 
+def test_extract_peaks_multi_instance():
+    # Two blobs in one channel: both must be recovered sub-pixel.
+    uv = jnp.asarray([[20.3, 10.6], [50.8, 25.2]])
+    hm = heatmap.render_heatmaps(uv, jnp.asarray([0, 0], jnp.int32),
+                                 jnp.asarray([True, True]), 1, 40, 64, sigma=2.0)
+    peaks, scores = decode.extract_peaks(hm, max_peaks=4)
+    got = np.asarray(peaks[0])
+    sc = np.asarray(scores[0])
+    strong = got[sc > 0.5]
+    assert len(strong) == 2
+    want = np.asarray(uv)
+    d = np.linalg.norm(strong[:, None] - want[None], axis=-1)
+    assert d.min(axis=0).max() < 0.15, f"peaks {strong} vs {want}"
+    # Weak slots score near zero.
+    assert (sc[2:] < 0.1).all()
+
+
 def test_dark_decode_border_peak_safe():
     hm = heatmap.render_heatmaps(
         jnp.asarray([[0.0, 0.0]]), jnp.asarray([0], jnp.int32),
