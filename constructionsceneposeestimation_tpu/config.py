@@ -128,6 +128,9 @@ class TrainConfig:
     steps: int = 10000
     warmup_steps: int = 500
     bf16: bool = True
+    loss: str = "mse"  # "mse" | "focal"
+    channel_balance: bool = True  # de-emphasize crowded classes (20 fences
+    # share channels; the dumper has one instance) by 1/sqrt(instances)
     # mesh axes: (data, model); fsdp shards params over 'data'
     mesh_shape: Tuple[int, ...] = (8,)
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -102,7 +102,7 @@ def gt_camera_frame_pose(roster, batch, inst_index: int):
 def evaluate_equipment_6dof(
     batch, roster, intr: cam_mod.Intrinsics, class_name: str = "dumper",
     stride: float = 4.0, use_gt_keypoints: bool = False,
-    heatmaps: Optional[Array] = None,
+    heatmaps: Optional[Array] = None, score_threshold: float = 0.3,
 ) -> Dict[str, Array]:
     """PnP pose recovery + ADD metrics for one equipment class.
 
@@ -126,7 +126,7 @@ def evaluate_equipment_6dof(
         ch = jnp.asarray(roster.inst_kpt_channel[o, :K])
         uv = jnp.take(uv_all, ch, axis=1)
         sc = jnp.take(score, ch, axis=1)
-        w = jnp.where(sc >= 0.3, sc, 0.0)
+        w = jnp.where(sc >= score_threshold, sc, 0.0)
 
     x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
     B = x.shape[0]

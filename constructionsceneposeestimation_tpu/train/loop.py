@@ -48,15 +48,36 @@ def create_train_state(cfg: Config, model, key: Array) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def channel_weights_from_roster(roster) -> Array:
+    """Per-channel loss weights: 1/sqrt(instances of the channel's class),
+    normalized to mean 1 — crowded classes (fence x20) stop drowning out
+    single-instance equipment channels."""
+    import numpy as np
+    ch = np.asarray(roster.inst_kpt_channel)
+    valid = ch >= 0
+    counts = np.zeros(int(ch.max()) + 1, np.float32)
+    # Instances per channel = how many objects contribute each channel.
+    for o in range(ch.shape[0]):
+        for c in ch[o][valid[o]]:
+            counts[c] += 1.0
+    w = 1.0 / np.sqrt(np.maximum(counts, 1.0))
+    w = w / w.mean()
+    return jnp.asarray(w)
+
+
 def make_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     """Returns ``step(state, seed, frame_ids) -> (state, metrics)`` — the full
     on-device datagen + train step."""
     tx = make_optimizer(cfg)
     gen = pipe.make_generate_fn(ladder=False)
+    ch_w = channel_weights_from_roster(pipe.roster) if cfg.train.channel_balance else None
 
     def loss_fn(params, images, targets):
         pred = pose_net.forward(model, params, images)
-        loss = losses.heatmap_mse(pred, targets)
+        if cfg.train.loss == "focal":
+            loss = losses.focal_heatmap_loss(pred, targets)
+        else:
+            loss = losses.heatmap_mse(pred, targets, ch_w)
         return loss, pred
 
     def step(state: TrainState, seed: Array, frame_ids: Array):

@@ -1,1 +1,1 @@
-from . import prng, profiling  # noqa: F401
+from . import prng, profiling, viz  # noqa: F401
