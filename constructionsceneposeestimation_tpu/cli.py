@@ -22,7 +22,7 @@ import numpy as np
 
 def cmd_generate(args) -> None:
     from .config import Config, PipelineConfig
-    from .io import dataset_writer, resume
+    from .io import dataset_writer, packed, resume
     from .parallel import pipeline as pipeline_mod
 
     cfg = Config(pipeline=PipelineConfig(
@@ -30,14 +30,20 @@ def cmd_generate(args) -> None:
         batch_size=args.batch, max_iterations=args.frames, seed=args.seed,
     ))
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu")
-    gen = jax.jit(pipe.make_generate_fn(ladder=args.ladder))
-    writer = dataset_writer.DatasetWriter(cfg, root=args.out, echo_log=args.verbose)
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+    want_hms = args.format == "packed" and args.heatmaps
+    gen = jax.jit(pipe.make_generate_fn(ladder=args.ladder,
+                                        include_heatmaps=want_hms))
     seed = jax.random.PRNGKey(args.seed)
 
     pending = resume.pending_frames(args.out, args.frames)
     print(f"generating {len(pending)}/{args.frames} frames "
-          f"(resume skipped {args.frames - len(pending)})")
+          f"(resume skipped {args.frames - len(pending)}, format={args.format})")
+    writer = None
+    if args.format == "reference":
+        writer = dataset_writer.DatasetWriter(cfg, root=args.out, echo_log=args.verbose)
+    else:
+        packed.save_manifest(args.out, pipe.roster, cfg)
     t0 = time.time()
     done = 0
     for i in range(0, len(pending), args.batch):
@@ -46,13 +52,22 @@ def cmd_generate(args) -> None:
         # are bit-identical thanks to per-frame determinism).
         ids = (chunk + [chunk[-1]] * (args.batch - len(chunk)))[: args.batch]
         batch = gen(seed, jnp.asarray(ids))
-        writer.write_batch(batch, pipe.roster)
+        if writer is not None:
+            writer.write_batch(batch, pipe.roster)
+        else:
+            import os
+            packed.save_shard(
+                os.path.join(args.out, f"shard_{ids[0]:06d}.npz"), batch, pipe.roster)
+            resume.record_completed(args.out, [int(f) for f in chunk])
         done += len(chunk)
         if args.verbose or (i // args.batch) % 10 == 0:
             fps = done / max(time.time() - t0, 1e-9)
             print(f"  {done}/{len(pending)} frames ({fps:.1f} fps incl. writes)")
-    report = writer.finish()
-    print(report)
+    if writer is not None:
+        print(writer.finish())
+    else:
+        print(f"done: {done} frames in {time.time() - t0:.1f}s "
+              f"({done / max(time.time() - t0, 1e-9):.1f} fps incl. writes)")
 
 
 def cmd_train(args) -> None:
@@ -129,14 +144,25 @@ def cmd_train_eval(args) -> None:
           f"(n={int(floor['n_keypoints'])})")
     print(f"model PCK@0.5:        {float(pck['pck']):.3f}  "
           f"mean matched err {float(pck['mean_px_error_matched']):.2f} px")
+    # Dumper-channel diagnostics: what the model actually scores its corners.
+    sl = pose_net.class_channel_slices()["dumper"]
+    d_scores = jnp.max(hm_pred[:, sl[0]:sl[1]], axis=(-1, -2))
+    print(f"dumper channel scores: mean {float(d_scores.mean()):.3f} "
+          f"max {float(d_scores.max()):.3f} "
+          f">=0.3: {float((d_scores >= 0.3).mean()):.2f} "
+          f">=0.15: {float((d_scores >= 0.15).mean()):.2f}")
     add_gt = eval_pipeline.evaluate_equipment_6dof(
         batch, pipe.roster, pipe.intr, "dumper", stride, use_gt_keypoints=True)
     add = eval_pipeline.evaluate_equipment_6dof(
-        batch, pipe.roster, pipe.intr, "dumper", stride, heatmaps=hm_pred)
+        batch, pipe.roster, pipe.intr, "dumper", stride, heatmaps=hm_pred,
+        score_threshold=args.pnp_threshold)
     print(f"dumper ADD (GT kpts):    mean {float(add_gt['add_mean']):.3f} m, "
-          f"ADD-0.1d {float(add_gt['add_0_1d']):.3f} (n={int(add_gt['n_valid'])})")
+          f"ADD-0.1d {float(add_gt['add_0_1d']):.3f} "
+          f"(accepted {int(add_gt['n_accepted'])}/{int(add_gt['n_valid'])})")
     print(f"dumper ADD (model kpts): mean {float(add['add_mean']):.3f} m, "
-          f"ADD-0.1d {float(add['add_0_1d']):.3f} (n={int(add['n_valid'])})")
+          f"ADD-0.1d {float(add['add_0_1d']):.3f} "
+          f"(accepted {int(add['n_accepted'])}/{int(add['n_valid'])}, "
+          f"rmse {float(add['rmse']):.4f})")
 
 
 def cmd_bench(args) -> None:
@@ -156,6 +182,10 @@ def main() -> None:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--ladder", action="store_true",
                    help="use the reference's 41-viewpoint systematic ladder")
+    g.add_argument("--format", choices=["reference", "packed"], default="reference",
+                   help="reference: exact drop-in text/PNG tree; packed: npz shards")
+    g.add_argument("--heatmaps", action="store_true",
+                   help="include f16 heatmap targets in packed shards")
     g.add_argument("--verbose", action="store_true")
     g.set_defaults(fn=cmd_generate)
 
@@ -177,6 +207,7 @@ def main() -> None:
     te.add_argument("--lite", action="store_true")
     te.add_argument("--inner", type=int, default=50)
     te.add_argument("--eval-frames", type=int, default=16)
+    te.add_argument("--pnp-threshold", type=float, default=0.15)
     te.set_defaults(fn=cmd_train_eval)
 
     b = sub.add_parser("bench", help="headline benchmark")

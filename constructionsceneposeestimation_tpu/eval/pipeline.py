@@ -103,6 +103,7 @@ def evaluate_equipment_6dof(
     batch, roster, intr: cam_mod.Intrinsics, class_name: str = "dumper",
     stride: float = 4.0, use_gt_keypoints: bool = False,
     heatmaps: Optional[Array] = None, score_threshold: float = 0.3,
+    rmse_gate: float = 0.02,
 ) -> Dict[str, Array]:
     """PnP pose recovery + ADD metrics for one equipment class.
 
@@ -137,9 +138,14 @@ def evaluate_equipment_6dof(
     add = metrics.add_metric(res.R, res.t, R_gt, t_gt, model_pts)
     dia = metrics.model_diameter(model_pts)
     valid = res.valid & batch.inst_visible[:, o]
+    # Acceptance gate: reprojection RMSE in normalized coords. Long-range PnP
+    # from noisy keypoints is ill-conditioned; production consumers reject
+    # high-residual solutions rather than trust them.
+    accepted = valid & (res.rmse <= rmse_gate)
     return {
-        "add_mean": jnp.sum(jnp.where(valid, add, 0.0)) / jnp.maximum(jnp.sum(valid), 1),
-        "add_0_1d": metrics.add_accuracy(add, dia, valid),
+        "add_mean": jnp.sum(jnp.where(accepted, add, 0.0)) / jnp.maximum(jnp.sum(accepted), 1),
+        "add_0_1d": metrics.add_accuracy(add, dia, accepted),
         "n_valid": jnp.sum(valid),
-        "rmse": jnp.mean(res.rmse),
+        "n_accepted": jnp.sum(accepted),
+        "rmse": jnp.mean(jnp.where(valid, res.rmse, 0.0)),
     }

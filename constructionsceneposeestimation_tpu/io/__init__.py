@@ -1,1 +1,1 @@
-from . import schema, writers, quality, resume, dataset_writer  # noqa: F401
+from . import schema, writers, quality, resume, dataset_writer, packed  # noqa: F401

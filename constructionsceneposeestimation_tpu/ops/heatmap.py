@@ -101,6 +101,16 @@ def render_heatmaps_pallas(
     83x128x128); larger maps should drop to the jnp path or a spatially
     blocked variant.
     """
+    # VMEM guard: the per-frame heatmap must fit on-chip (~16 MB v5e). Larger
+    # maps fall back to the jnp path (or add spatial blocking if this becomes
+    # a hot config).
+    if num_channels * height * width * 4 > 12 * 1024 * 1024:
+        return render_heatmaps(uv, channel, visible, num_channels, height,
+                               width, sigma, stride) if uv.ndim == 2 else jax.vmap(
+            lambda u, c, v: render_heatmaps(u, c, v, num_channels, height,
+                                            width, sigma, stride)
+        )(uv, channel, visible)
+
     batched = uv.ndim == 3
     if not batched:
         uv, channel, visible = uv[None], channel[None], visible[None]

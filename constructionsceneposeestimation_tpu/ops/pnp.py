@@ -100,14 +100,16 @@ def solve_pnp(
     weights: Array,  # (N,) >= 0
     iters: int = 8,
     damping: float = 1e-4,
-    min_weight_sum: float = 6.0,
+    min_points: int = 6,
 ) -> PnPResult:
-    # min_weight_sum >= 6: the DLT system needs 6 correspondences for a
-    # unique projective solution; 4-5 points yield garbage initializations
-    # that Gauss-Newton cannot recover from (observed as ~8 m ADD outliers).
-    """DLT + Gauss-Newton. vmap over leading batch dims for fleets of objects."""
-    wsum = jnp.sum(weights, -1)
-    valid = wsum >= min_weight_sum
+    """DLT + Gauss-Newton. vmap over leading batch dims for fleets of objects.
+
+    ``min_points`` counts correspondences with POSITIVE weight (not weight
+    mass — confidence weights are fractional): the DLT system needs 6 for a
+    unique projective solution; 4-5 yield garbage initializations that
+    Gauss-Newton cannot recover from (observed as ~8 m ADD outliers)."""
+    n_usable = jnp.sum(weights > 0, -1)
+    valid = n_usable >= min_points
     w_safe = jnp.where(valid[..., None], weights, jnp.ones_like(weights))
 
     R0, t0 = dlt_init(points_3d, points_2d, w_safe)

@@ -112,8 +112,13 @@ class Pipeline:
         return ann, hms
 
     # ---------------- batched step ----------------
-    def make_generate_fn(self, ladder: bool = False):
-        """Returns jitted ``generate(seed_key, frame_ids (B,)) -> FrameBatch``."""
+    def make_generate_fn(self, ladder: bool = False, include_heatmaps: bool = True):
+        """Returns jitted ``generate(seed_key, frame_ids (B,)) -> FrameBatch``.
+
+        ``include_heatmaps=False`` (dataset-writing path) skips heatmap
+        rasterization and returns a zero-channel array — the writers don't
+        consume heatmaps, and a 512x512 batch otherwise computes and ships
+        ~170 MB of targets per 64 frames for nothing."""
         cfg = self.cfg
         if ladder:
             # Precompute the 41-entry systematic ladder once (static).
@@ -162,7 +167,9 @@ class Pipeline:
                 )
             else:
                 ann, hms = jax.vmap(one)(frame_ids)
-            if self.use_pallas_heatmaps:
+            if not include_heatmaps:
+                hms = jnp.zeros((B, 0, self.hm_h, self.hm_w), jnp.float32)
+            elif self.use_pallas_heatmaps:
                 uv = ann.kpt_uv.reshape(ann.kpt_uv.shape[0], -1, 2)
                 ch = jnp.asarray(self.roster.inst_kpt_channel).reshape(-1)
                 chb = jnp.broadcast_to(ch, uv.shape[:2])

@@ -95,7 +95,8 @@ def render_frame(
     # unnormalized cam->kpt segments give t in segment units directly.
     O = roster.num_instances
     inst_rot, inst_pos = world["inst_rot"], world["inst_pos"]
-    kpts_w = world_mod.world_keypoints(roster, inst_rot, inst_pos)  # (O, K, 3)
+    kpts_w = world_mod.world_keypoints(
+        roster, inst_rot, inst_pos, world.get("kpts_local"))  # (O, K, 3)
     K = kpts_w.shape[-2]
     kpt_flat = kpts_w.reshape(-1, 3)
     seg = kpt_flat - cam_pos[None, :]

@@ -75,6 +75,7 @@ def randomize_scene(
     scene_cfg: SceneConfig = SceneConfig(),
     cfg: RandomizationConfig = RandomizationConfig(),
     articulate_crane: bool = False,
+    articulate_humans: bool = True,
 ) -> Tuple[world_mod.ScenePose, Dict[str, Array]]:
     """Sample a full scene placement. Batched via vmap over keys."""
     n_humans = scene_cfg.n_humans
@@ -195,12 +196,27 @@ def randomize_scene(
         positions = positions.at[c0:c1, :2].set(cone_xy)
         yaw = yaw.at[c0:c1].set(cone_yaw)
 
+    # Articulated worker poses (the reference's rigged DHGen stand-in).
+    if n_humans > 0:
+        canonical = jnp.asarray(world_mod.assets.CANONICAL_COCO)
+        if articulate_humans:
+            pose_keys = jax.random.split(keys[7], n_humans)
+            human_joints = jax.vmap(
+                lambda k: kinematics.pose_human_joints(
+                    canonical, kinematics.sample_human_pose(k))
+            )(pose_keys)
+        else:
+            human_joints = jnp.broadcast_to(canonical, (n_humans, 17, 3))
+    else:
+        human_joints = None
+
     pose = world_mod.ScenePose(
         crane_pos=jnp.concatenate([crane_xy, jnp.zeros(1)]),
         crane_yaw_deg=jnp.float32(0.0),  # crane never rotates (reference: 1096)
         crane_joints=joints,
         positions=positions,
         yaw_deg=yaw,
+        human_joints=human_joints,
     )
     diag = {
         "crane_ok": crane_ok,

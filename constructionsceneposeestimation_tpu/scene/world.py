@@ -168,19 +168,23 @@ class ScenePose:
 
     ``positions``/``yaw_deg`` cover non-crane instances by roster index; crane
     root pose + joints expand to the 4 part instances inside ``build_world``.
+    ``human_joints`` (..., n_humans, 17, 3) carries articulated COCO joints in
+    each human's local frame (kinematics.pose_human_joints); None means the
+    canonical standing pose.
     """
 
     def __init__(self, crane_pos, crane_yaw_deg, crane_joints,
-                 positions, yaw_deg):
+                 positions, yaw_deg, human_joints=None):
         self.crane_pos = crane_pos  # (..., 3)
         self.crane_yaw_deg = crane_yaw_deg  # (...,)
         self.crane_joints = crane_joints  # (..., 3)
         self.positions = positions  # (..., O, 3) rows 0-3 ignored (crane parts)
         self.yaw_deg = yaw_deg  # (..., O)
+        self.human_joints = human_joints  # (..., n_humans, 17, 3) or None
 
     def tree_flatten(self):
         return (self.crane_pos, self.crane_yaw_deg, self.crane_joints,
-                self.positions, self.yaw_deg), None
+                self.positions, self.yaw_deg, self.human_joints), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -229,12 +233,15 @@ def default_pose(roster: Roster, cfg: SceneConfig = SceneConfig()) -> ScenePose:
             positions[i] = [cfg.fence_half_x, span_y[k], 0.0]
             yaw[i] = 90.0
 
+    n_h = roster.human_slice[1] - roster.human_slice[0]
     return ScenePose(
         crane_pos=jnp.asarray([0.0, 0.0, 0.0], jnp.float32),
         crane_yaw_deg=jnp.asarray(0.0, jnp.float32),
         crane_joints=kinematics.DEFAULT_CRANE_JOINTS,
         positions=jnp.asarray(positions),
         yaw_deg=jnp.asarray(yaw),
+        human_joints=jnp.broadcast_to(
+            jnp.asarray(assets.CANONICAL_COCO), (n_h, 17, 3)) if n_h else None,
     )
 
 
@@ -268,8 +275,11 @@ def build_world(roster: Roster, pose: ScenePose):
     Returns a dict of arrays (leading batch dims follow the pose):
       prim_kind (P,), prim_rot (..., P, 3, 3), prim_pos (..., P, 3),
       prim_params (P, 4), prim_inst (P,), inst_rot (..., O, 3, 3),
-      inst_pos (..., O, 3).
+      inst_pos (..., O, 3), kpts_local (..., O, K, 3).
     """
+    if pose.positions.ndim > 2:  # batched pose: vmap the single-frame path
+        return jax.vmap(lambda p: build_world(roster, p))(pose)
+
     inst_rot, inst_pos = instance_poses(roster, pose)
     prim_inst = jnp.asarray(roster.prim_inst)
     # Gather per-prim instance transforms; ground (-1) gets identity.
@@ -283,6 +293,25 @@ def build_world(roster: Roster, pose: ScenePose):
 
     local_rot = jnp.asarray(roster.prim_rot)
     local_off = jnp.asarray(roster.prim_offset)
+    kpts_local = jnp.asarray(roster.inst_kpts)
+
+    # Articulated humans: replace the humans' prim-local transforms and local
+    # keypoints with the posed skeleton (capsule params are pose-invariant:
+    # rigid rotations preserve bone lengths).
+    if pose.human_joints is not None:
+        h0, h1 = roster.human_slice
+        n_h = h1 - h0
+        hp_idx = np.nonzero((np.asarray(roster.prim_inst) >= h0)
+                            & (np.asarray(roster.prim_inst) < h1))[0]
+        if n_h > 0:
+            posed_rot, posed_off = jax.vmap(
+                kinematics.human_capsule_transforms)(pose.human_joints)
+            idx = jnp.asarray(hp_idx)
+            local_rot = local_rot.at[idx].set(posed_rot.reshape(-1, 3, 3))
+            local_off = local_off.at[idx].set(posed_off.reshape(-1, 3))
+            kpts_local = kpts_local.at[h0:h1, : pose.human_joints.shape[-2], :].set(
+                pose.human_joints)
+
     prim_rot = jnp.einsum("...pij,pjk->...pik", pi_rot, local_rot,
                           precision=jax.lax.Precision.HIGHEST)
     prim_pos = pi_pos + jnp.einsum("...pij,pj->...pi", pi_rot, local_off,
@@ -295,14 +324,19 @@ def build_world(roster: Roster, pose: ScenePose):
         "prim_inst": prim_inst,
         "inst_rot": inst_rot,
         "inst_pos": inst_pos,
+        "kpts_local": kpts_local,
     }
 
 
-def world_keypoints(roster: Roster, inst_rot: Array, inst_pos: Array) -> Array:
-    """Object-local keypoints -> world frame: (..., O, K_max, 3)."""
-    kpts = jnp.asarray(roster.inst_kpts)
+def world_keypoints(roster: Roster, inst_rot: Array, inst_pos: Array,
+                    kpts_local: Array | None = None) -> Array:
+    """Object-local keypoints -> world frame: (..., O, K_max, 3).
+
+    ``kpts_local`` (from build_world) carries articulated-human overrides;
+    None falls back to the static template keypoints."""
+    kpts = jnp.asarray(roster.inst_kpts) if kpts_local is None else kpts_local
     return (
-        jnp.einsum("...oij,okj->...oki", inst_rot, kpts,
+        jnp.einsum("...oij,...okj->...oki", inst_rot, kpts,
                    precision=jax.lax.Precision.HIGHEST)
         + inst_pos[..., :, None, :]
     )

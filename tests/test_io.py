@@ -180,6 +180,43 @@ def test_resume_reference_and_manifest(tmp_path):
     assert resume.pending_frames(root, 8) == [6, 7]
 
 
+def test_packed_shard_roundtrip(tmp_path):
+    from constructionsceneposeestimation_tpu.io import packed
+    cfg = Config(
+        scene=SceneConfig(n_cones=2, n_trees=1, n_fence_panels=4),
+        pipeline=PipelineConfig(render_width=64, render_height=64),
+    )
+    pipe = pipeline_mod.Pipeline(cfg)
+    gen = jax.jit(pipe.make_generate_fn(ladder=True))
+    batch = gen(jax.random.PRNGKey(0), jnp.arange(2))
+    root = str(tmp_path / "packed")
+    packed.save_manifest(root, pipe.roster, cfg)
+    packed.save_shard(root + "/shard_000000.npz", batch, pipe.roster)
+    shards = list(packed.iter_shards(root))
+    assert len(shards) == 1
+    s = shards[0]
+    np.testing.assert_array_equal(s["frame_id"], [0, 1])
+    assert s["rgb"].shape == (2, 64, 64, 3) and s["rgb"].dtype == np.uint8
+    assert s["heatmaps"].dtype == np.float16
+    np.testing.assert_allclose(
+        s["camera_pose7"], np.asarray(batch.camera_pose7), atol=1e-6)
+    mani = json.load(open(root + "/dataset_manifest.json"))
+    assert mani["class_mapping"] == taxonomy.CONSTRUCTION_CLASS
+    assert mani["camera"]["width"] == 64
+
+
+def test_generate_without_heatmaps_is_empty_channelwise():
+    cfg = Config(
+        scene=SceneConfig(n_cones=1, n_trees=0, n_fence_panels=4),
+        pipeline=PipelineConfig(render_width=64, render_height=64),
+    )
+    pipe = pipeline_mod.Pipeline(cfg)
+    gen = jax.jit(pipe.make_generate_fn(ladder=True, include_heatmaps=False))
+    batch = gen(jax.random.PRNGKey(0), jnp.arange(2))
+    assert batch.heatmaps.shape[1] == 0
+    assert batch.rgb.shape == (2, 64, 64, 3)
+
+
 def test_dataset_writer_end_to_end(tmp_path):
     cfg = Config(
         scene=SceneConfig(n_cones=2, n_trees=1, n_fence_panels=4),
