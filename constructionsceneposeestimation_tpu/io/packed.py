@@ -31,6 +31,7 @@ def save_shard(path: str, batch, roster, compress: bool = False) -> None:
         "camera_pose7": np.asarray(batch.camera_pose7, np.float32),
         "inst_visible": np.asarray(batch.inst_visible),
         "inst_pixel_count": np.asarray(batch.inst_pixel_count, np.int32),
+        "bbox2d": np.asarray(batch.bbox2d, np.int32),
         "center": np.asarray(batch.center, np.float32),
         "size": np.asarray(batch.size, np.float32),
         "euler_deg": np.asarray(batch.euler_deg, np.float32),

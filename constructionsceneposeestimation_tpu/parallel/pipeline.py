@@ -40,6 +40,7 @@ class FrameBatch(NamedTuple):
     camera_pose7: Array  # (B, 7)
     inst_visible: Array  # (B, O)
     inst_pixel_count: Array  # (B, O)
+    bbox2d: Array  # (B, O, 4)
     center: Array  # (B, O, 3)
     size: Array  # (B, O, 3)
     euler_deg: Array  # (B, O, 3)
@@ -187,6 +188,7 @@ class Pipeline:
                 camera_pose7=ann.camera_pose7,
                 inst_visible=ann.inst_visible,
                 inst_pixel_count=ann.inst_pixel_count,
+                bbox2d=ann.bbox2d,
                 center=ann.center,
                 size=ann.size,
                 euler_deg=ann.euler_deg,

@@ -44,6 +44,7 @@ class FrameAnnotations(NamedTuple):
     camera_pose7: Array  # (7,) [x y z qx qy qz qw]
     inst_visible: Array  # (O,) bool — any pixel covered (bbox_3d primPaths analogue)
     inst_pixel_count: Array  # (O,) int32
+    bbox2d: Array  # (O, 4) [u_min, v_min, u_max, v_max] pixel-tight; -1 if unseen
     center: Array  # (O, 3) world bbox center
     size: Array  # (O, 3) world bbox size
     euler_deg: Array  # (O, 3) extrinsic-xyz degrees
@@ -162,6 +163,18 @@ def render_frame(
     inst_pixel_count = jnp.sum(eq, axis=0, dtype=jnp.int32)
     inst_visible = inst_pixel_count > 0
 
+    # Pixel-tight 2D boxes from the same compare matrix (an extension beyond
+    # the reference's 3D-only labels; fuses into the sweep epilogue).
+    us = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)[:, None]
+    vs = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)[:, None]
+    big = jnp.int32(1 << 20)
+    u_min = jnp.min(jnp.where(eq, us, big), axis=0)
+    v_min = jnp.min(jnp.where(eq, vs, big), axis=0)
+    u_max = jnp.max(jnp.where(eq, us, -1), axis=0)
+    v_max = jnp.max(jnp.where(eq, vs, -1), axis=0)
+    bbox2d = jnp.stack([u_min, v_min, u_max, v_max], -1)
+    bbox2d = jnp.where(inst_visible[:, None], bbox2d, -1)
+
     # 6DoF bbox labels via the exact reference math path (553-584).
     T = transforms.make_transform(inst_rot, inst_pos)
     T_rowmajor = jnp.swapaxes(T, -1, -2)
@@ -197,6 +210,7 @@ def render_frame(
         camera_pose7=cam_mod.camera_pose7_xyzw(cam_pos, target),
         inst_visible=inst_visible,
         inst_pixel_count=inst_pixel_count,
+        bbox2d=bbox2d,
         center=center,
         size=size,
         euler_deg=euler,

@@ -38,6 +38,14 @@ def test_depth_and_instance_at_dumper():
     assert 3.0 < center_depth < 7.0
     assert bool(out.inst_visible[d0])
     assert int(out.inst_pixel_count[d0]) == (inst == d0).sum()
+    # 2D box tight around the dumper pixels.
+    ys, xs = np.nonzero(inst == d0)
+    np.testing.assert_array_equal(
+        np.asarray(out.bbox2d[d0]), [xs.min(), ys.min(), xs.max(), ys.max()])
+    # Unseen instances carry -1 boxes.
+    unseen = ~np.asarray(out.inst_visible)
+    if unseen.any():
+        assert (np.asarray(out.bbox2d)[unseen] == -1).all()
 
 
 def test_sky_and_ground_in_instance_map():
