@@ -70,7 +70,10 @@ def cmd_generate(args) -> None:
               f"({done / max(time.time() - t0, 1e-9):.1f} fps incl. writes)")
 
 
-def cmd_train(args) -> None:
+def _run_training(args):
+    """Shared train driver: build model+pipeline, optionally restore a
+    checkpoint, run scanned steps, optionally save. Returns
+    (cfg, model, pipe, state)."""
     from .config import Config, PipelineConfig, TrainConfig
     from .models import pose_net
     from .parallel import pipeline as pipeline_mod
@@ -78,53 +81,51 @@ def cmd_train(args) -> None:
 
     cfg = Config(
         pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
-        train=TrainConfig(batch_size=args.batch, steps=args.steps),
+        train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1)),
     )
     model = pose_net.make_model(lite=args.lite)
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
-    inner = max(1, min(args.inner, args.steps))
-    run = jax.jit(train_loop.make_scanned_train_fn(cfg, model, pipe, inner),
-                  donate_argnums=(0,))
     state = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed))
-    seed = jax.random.PRNGKey(args.seed + 1)
-    t0 = time.time()
-    done = 0
-    while done < args.steps:
-        state, metrics = run(state, seed, jnp.int32(done * args.batch))
-        done += inner
-        print(f"step {done}: loss={float(metrics['loss']):.5f} "
-              f"({done * args.batch / (time.time() - t0):.1f} img/s avg)")
+    mgr = None
+    if getattr(args, "ckpt_dir", None):
+        from .train import checkpoint
+        mgr = checkpoint.CheckpointManager(args.ckpt_dir, save_every=0)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            print(f"restored checkpoint at step {int(state.step)}")
+    done = int(state.step)
+    if done < args.steps:
+        inner = max(1, min(args.inner, args.steps))
+        run = jax.jit(train_loop.make_scanned_train_fn(cfg, model, pipe, inner),
+                      donate_argnums=(0,))
+        seed = jax.random.PRNGKey(args.seed + 1)
+        t0 = time.time()
+        trained0 = done
+        while done < args.steps:
+            state, metrics = run(state, seed, jnp.int32(done * args.batch))
+            done += inner
+            print(f"step {done}: loss={float(metrics['loss']):.5f} "
+                  f"({(done - trained0) * args.batch / (time.time() - t0):.1f} img/s avg)")
+        if mgr is not None:
+            mgr.maybe_save(state, force=True)
+            print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
+    if mgr is not None:
+        mgr.close()
+    return cfg, model, pipe, state
+
+
+def cmd_train(args) -> None:
+    _run_training(args)
 
 
 def cmd_train_eval(args) -> None:
-    """Train, then evaluate PCK + equipment ADD with the trained model
-    (BASELINE configs 3+4+5 in one command)."""
-    from .config import Config, PipelineConfig, TrainConfig
+    """Train (or restore), then evaluate PCK + equipment ADD with the trained
+    model (BASELINE configs 3+4+5 in one command)."""
     from .eval import pipeline as eval_pipeline
     from .models import pose_net
-    from .parallel import pipeline as pipeline_mod
-    from .train import loop as train_loop
 
-    cfg = Config(
-        pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
-        train=TrainConfig(batch_size=args.batch, steps=args.steps),
-    )
-    model = pose_net.make_model(lite=args.lite)
-    pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
-    inner = max(1, min(args.inner, args.steps))
-    run = jax.jit(train_loop.make_scanned_train_fn(cfg, model, pipe, inner),
-                  donate_argnums=(0,))
-    state = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed))
-    seed = jax.random.PRNGKey(args.seed + 1)
-    t0 = time.time()
-    done = 0
-    while done < args.steps:
-        state, metrics = run(state, seed, jnp.int32(done * args.batch))
-        done += inner
-        print(f"step {done}: loss={float(metrics['loss']):.5f} "
-              f"({done * args.batch / (time.time() - t0):.1f} img/s avg)")
+    cfg, model, pipe, state = _run_training(args)
 
     # Held-out eval: different seed stream.
     gen = jax.jit(pipe.make_generate_fn(ladder=False))
@@ -197,6 +198,8 @@ def main() -> None:
     t.add_argument("--lite", action="store_true")
     t.add_argument("--inner", type=int, default=10,
                    help="train steps per device dispatch (lax.scan)")
+    t.add_argument("--ckpt-dir", default=None,
+                   help="orbax checkpoint dir (restore if present, save at end)")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("train-eval", help="train then PCK/ADD evaluation")
@@ -208,6 +211,7 @@ def main() -> None:
     te.add_argument("--inner", type=int, default=50)
     te.add_argument("--eval-frames", type=int, default=16)
     te.add_argument("--pnp-threshold", type=float, default=0.15)
+    te.add_argument("--ckpt-dir", default=None)
     te.set_defaults(fn=cmd_train_eval)
 
     b = sub.add_parser("bench", help="headline benchmark")
