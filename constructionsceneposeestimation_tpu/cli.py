@@ -26,7 +26,7 @@ def cmd_generate(args) -> None:
     from .parallel import pipeline as pipeline_mod
 
     cfg = Config(pipeline=PipelineConfig(
-        render_width=args.size, render_height=args.size,
+        render_width=args.width or args.size, render_height=args.height or args.size,
         batch_size=args.batch, max_iterations=args.frames, seed=args.seed,
     ))
     pipe = pipeline_mod.Pipeline(
@@ -127,8 +127,10 @@ def cmd_train_eval(args) -> None:
 
     cfg, model, pipe, state = _run_training(args)
 
-    # Held-out eval: different seed stream.
-    gen = jax.jit(pipe.make_generate_fn(ladder=False))
+    # Held-out eval: different seed stream. --eval-ladder uses the reference's
+    # close-range systematic viewpoints (4-12 m) instead of the far DR sampler
+    # (15-30 m) — PnP conditioning is range-dependent.
+    gen = jax.jit(pipe.make_generate_fn(ladder=args.eval_ladder))
     eval_seed = jax.random.PRNGKey(args.seed + 1000)
     batch = gen(eval_seed, jnp.arange(args.eval_frames))
     from .ops import preprocess
@@ -180,6 +182,9 @@ def main() -> None:
     g.add_argument("--frames", type=int, default=41)
     g.add_argument("--batch", type=int, default=8)
     g.add_argument("--size", type=int, default=512)
+    g.add_argument("--width", type=int, default=None,
+                   help="override width (e.g. 1280 for the reference's 1280x720)")
+    g.add_argument("--height", type=int, default=None)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--ladder", action="store_true",
                    help="use the reference's 41-viewpoint systematic ladder")
@@ -212,6 +217,8 @@ def main() -> None:
     te.add_argument("--eval-frames", type=int, default=16)
     te.add_argument("--pnp-threshold", type=float, default=0.15)
     te.add_argument("--ckpt-dir", default=None)
+    te.add_argument("--eval-ladder", action="store_true",
+                    help="evaluate on the close-range reference viewpoint ladder")
     te.set_defaults(fn=cmd_train_eval)
 
     b = sub.add_parser("bench", help="headline benchmark")
