@@ -48,16 +48,19 @@ class ResBlock(nn.Module):
 
 
 class HeatmapBackbone(nn.Module):
-    """images (B, H, W, 3) float32 -> heatmaps (B, H/4, W/4, num_channels) f32."""
+    """images (B, H, W, 3) float32 -> heatmaps
+    (B, H/output_stride, W/output_stride, num_channels) f32."""
 
     num_channels: int
     stage_features: Sequence[int] = (64, 128, 256, 512)
     blocks_per_stage: Sequence[int] = (2, 2, 2, 2)
     deconv_features: int = 256
+    output_stride: int = 4  # 4 -> three deconvs; 2 -> four
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        assert self.output_stride in (2, 4), "output_stride must be 2 or 4"
         x = x.astype(self.dtype)
         # Stem: /4
         x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False,
@@ -70,8 +73,9 @@ class HeatmapBackbone(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
                 x = ResBlock(feats, stride, self.dtype)(x)
-        # Decoder: three 4x4 stride-2 deconvs -> /4
-        for _ in range(3):
+        # Decoder: 4x4 stride-2 deconvs down to the output stride.
+        n_deconv = 3 if self.output_stride == 4 else 4
+        for _ in range(n_deconv):
             x = nn.ConvTranspose(self.deconv_features, (4, 4), strides=(2, 2),
                                  use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)
             x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)

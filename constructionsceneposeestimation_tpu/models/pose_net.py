@@ -35,10 +35,14 @@ def class_channel_slices() -> Dict[str, tuple]:
     return {n: (lo, hi + 1) for n, (lo, hi) in out.items()}
 
 
-def make_model(num_channels: int | None = None, lite: bool = False):
+def make_model(num_channels: int | None = None, lite: bool = False,
+               output_stride: int = 4):
     num_channels = num_channels or assets.NUM_KEYPOINT_CHANNELS
-    cls = backbone.LiteBackbone if lite else backbone.HeatmapBackbone
-    return cls(num_channels=num_channels)
+    if lite:
+        assert output_stride == 4, "LiteBackbone is stride-4 only"
+        return backbone.LiteBackbone(num_channels=num_channels)
+    return backbone.HeatmapBackbone(num_channels=num_channels,
+                                    output_stride=output_stride)
 
 
 def init_params(model, key: Array, height: int, width: int):

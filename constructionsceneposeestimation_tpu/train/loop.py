@@ -71,6 +71,11 @@ def make_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     tx = make_optimizer(cfg)
     gen = pipe.make_generate_fn(ladder=False)
     ch_w = channel_weights_from_roster(pipe.roster) if cfg.train.channel_balance else None
+    model_stride = getattr(model, "output_stride", 4)
+    assert model_stride == cfg.pipeline.heatmap_stride, (
+        f"model output stride {model_stride} != pipeline heatmap_stride "
+        f"{cfg.pipeline.heatmap_stride}: predictions and targets would have "
+        "different spatial shapes")
 
     def loss_fn(params, images, targets):
         pred = pose_net.forward(model, params, images)
