@@ -207,12 +207,30 @@ def crane_template() -> ClassTemplate:
 
 def dumper_template() -> ClassTemplate:
     # Dump truck: chassis + cab (front, +X) + bed (rear).
+    #
+    # Keypoints are SEMANTIC surface features (wheel hubs, cab/bed corners),
+    # not AABB corners: the union-shape AABB corners float in empty space
+    # (e.g. wheel-height at chassis extent), which a heatmap net cannot
+    # localize — measured 8-40 px corner errors vs <3 px for surface features.
     aabb = ([-2.25, -1.1, 0.0], [2.25, 1.1, 2.2])
-    corner_kpts, corner_names = _aabb_corner_keypoints(*aabb)
-    kpts = np.concatenate(
-        [corner_kpts, np.array([[1.45, 0.0, 2.2], [-0.8, 0.0, 1.9]], np.float32)]
+    kpts = np.array(
+        [
+            [1.5, 1.1, 0.45],    # wheel_front_left (hub, outer face)
+            [1.5, -1.1, 0.45],   # wheel_front_right
+            [-1.5, 1.1, 0.45],   # wheel_rear_left
+            [-1.5, -1.1, 0.45],  # wheel_rear_right
+            [2.25, 1.05, 2.2],   # cab_top_front_left
+            [2.25, -1.05, 2.2],  # cab_top_front_right
+            [-2.1, 1.05, 1.9],   # bed_top_rear_left
+            [-2.1, -1.05, 1.9],  # bed_top_rear_right
+            [1.45, 0.0, 2.2],    # cab_top
+            [-0.8, 0.0, 1.9],    # bed_center
+        ],
+        np.float32,
     )
-    names = corner_names + ("cab_top", "bed_center")
+    names = ("wheel_front_left", "wheel_front_right", "wheel_rear_left",
+             "wheel_rear_right", "cab_top_front_left", "cab_top_front_right",
+             "bed_top_rear_left", "bed_top_rear_right", "cab_top", "bed_center")
     prims = [
         (BOX, [0.0, 0.0, 0.9], None, [2.25, 1.1, 0.45]),  # chassis, z in [0.45, 1.35]
         (BOX, [1.45, 0.0, 1.75], None, [0.8, 1.05, 0.45]),  # cab
