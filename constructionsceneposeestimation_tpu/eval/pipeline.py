@@ -103,7 +103,8 @@ def evaluate_equipment_6dof(
     batch, roster, intr: cam_mod.Intrinsics, class_name: str = "dumper",
     stride: float = 4.0, use_gt_keypoints: bool = False,
     heatmaps: Optional[Array] = None, score_threshold: float = 0.3,
-    rmse_gate: float = 0.02,
+    rmse_gate_px: float = 8.0, inlier_px: float = 10.0,
+    use_ransac: bool = True, key: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """PnP pose recovery + ADD metrics for one equipment class.
 
@@ -131,21 +132,27 @@ def evaluate_equipment_6dof(
 
     x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
     B = x.shape[0]
-    res = jax.vmap(pnp_ops.solve_pnp)(
-        jnp.broadcast_to(model_pts, (B,) + model_pts.shape), x, w
-    )
+    Xb = jnp.broadcast_to(model_pts, (B,) + model_pts.shape)
+    # Thresholds calibrated in PIXELS, converted to normalized coords.
+    px2n = 1.0 / float(intr.fx)
+    if use_ransac and not use_gt_keypoints:
+        keys = jax.random.split(key if key is not None else jax.random.PRNGKey(0), B)
+        res = jax.vmap(lambda k, X, xx, ww: pnp_ops.solve_pnp_ransac(
+            k, X, xx, ww, inlier_thresh=inlier_px * px2n))(keys, Xb, x, w)
+    else:
+        res = jax.vmap(pnp_ops.solve_pnp)(Xb, x, w)
     R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
     add = metrics.add_metric(res.R, res.t, R_gt, t_gt, model_pts)
     dia = metrics.model_diameter(model_pts)
     valid = res.valid & batch.inst_visible[:, o]
-    # Acceptance gate: reprojection RMSE in normalized coords. Long-range PnP
+    # Acceptance gate: reprojection RMSE (pixel-calibrated). Long-range PnP
     # from noisy keypoints is ill-conditioned; production consumers reject
     # high-residual solutions rather than trust them.
-    accepted = valid & (res.rmse <= rmse_gate)
+    accepted = valid & (res.rmse <= rmse_gate_px * px2n)
     return {
         "add_mean": jnp.sum(jnp.where(accepted, add, 0.0)) / jnp.maximum(jnp.sum(accepted), 1),
         "add_0_1d": metrics.add_accuracy(add, dia, accepted),
         "n_valid": jnp.sum(valid),
         "n_accepted": jnp.sum(accepted),
-        "rmse": jnp.mean(jnp.where(valid, res.rmse, 0.0)),
+        "rmse": jnp.sum(jnp.where(valid, res.rmse, 0.0)) / jnp.maximum(jnp.sum(valid), 1),
     }

@@ -161,3 +161,56 @@ def solve_pnp(
 def normalize_pixels(uv: Array, fx: Array, fy: Array, cx: Array, cy: Array) -> Array:
     """Pixel -> normalized image coordinates."""
     return jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], -1)
+
+
+def solve_pnp_ransac(
+    key: Array,
+    points_3d: Array,  # (N, 3)
+    points_2d: Array,  # (N, 2) normalized
+    weights: Array,  # (N,)
+    hypotheses: int = 32,
+    subset: int = 6,
+    inlier_thresh: float = 0.01,  # normalized-coord reprojection radius
+    iters: int = 8,
+    min_points: int = 6,
+) -> PnPResult:
+    """Robust PnP: RANSAC over minimal DLT subsets + inlier-weighted refine.
+
+    Decoded keypoints contain structured outliers (symmetric-feature swaps,
+    hallucinated occluded corners) that wreck a single weighted solve. All
+    ``hypotheses`` minimal solves run batched (vmap over a leading hypothesis
+    axis — TPU-shaped RANSAC, no loops); the best-consensus hypothesis's
+    inliers drive the final Gauss-Newton. vmap over objects as usual.
+    """
+    N = points_3d.shape[-2]
+    usable = weights > 0
+
+    # Sample `hypotheses` subsets of size `subset`, biased toward usable
+    # points: per-hypothesis Gumbel top-k over masked scores.
+    g = jax.random.gumbel(key, (hypotheses, N))
+    g = jnp.where(usable[None, :], g, -jnp.inf)
+    _, sub_idx = jax.lax.top_k(g, subset)  # (H, subset)
+
+    def solve_one(idx):
+        X = points_3d[idx]
+        x = points_2d[idx]
+        w = jnp.ones(subset, points_2d.dtype)
+        return dlt_init(X, x, w)
+
+    R_h, t_h = jax.vmap(solve_one)(sub_idx)  # (H, 3, 3), (H, 3)
+
+    proj, p_cam = _project(R_h, t_h, jnp.broadcast_to(points_3d, (hypotheses, N, 3)))
+    err = jnp.linalg.norm(proj - points_2d[None], axis=-1)  # (H, N)
+    in_front = p_cam[..., 2] > 0
+    inlier = (err <= inlier_thresh) & usable[None, :] & in_front
+    score = jnp.sum(inlier, -1)
+    best = jnp.argmax(score)
+    best_inliers = inlier[best]
+
+    # Refine on the consensus set (fall back to all usable points when the
+    # consensus is too thin to be meaningful).
+    enough = jnp.sum(best_inliers) >= subset
+    w_final = jnp.where(enough, best_inliers.astype(weights.dtype) * weights,
+                        weights)
+    return solve_pnp(points_3d, points_2d, w_final, iters=iters,
+                     min_points=min_points)

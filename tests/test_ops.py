@@ -156,6 +156,42 @@ def test_pnp_batched_vmap():
         np.testing.assert_allclose(np.asarray(res.R[i]), Rs[i], atol=2e-3)
 
 
+def test_pnp_ransac_rejects_outliers():
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-1, 1, (12, 3)).astype(np.float32)
+    R, t = _random_pose(rng)
+    p = X @ R.T + t
+    x = (p[:, :2] / p[:, 2:3]).astype(np.float32)
+    x_bad = x.copy()
+    # Three gross outliers WITH full weight (swapped/hallucinated keypoints).
+    x_bad[0] = x[1] + 0.3
+    x_bad[5] += np.asarray([0.4, -0.2])
+    x_bad[9] -= np.asarray([0.25, 0.35])
+    w = np.ones(12, np.float32)
+    # Plain weighted solve is wrecked by them...
+    plain = pnp.solve_pnp(jnp.asarray(X), jnp.asarray(x_bad), jnp.asarray(w))
+    err_plain = np.linalg.norm(np.asarray(plain.t) - t)
+    # ...RANSAC recovers the pose.
+    res = pnp.solve_pnp_ransac(jax.random.PRNGKey(0), jnp.asarray(X),
+                               jnp.asarray(x_bad), jnp.asarray(w))
+    assert bool(res.valid)
+    ang = Rot.from_matrix(np.asarray(res.R) @ R.T).magnitude() * 180 / np.pi
+    assert ang < 1.0, f"rot err {ang}"
+    assert np.linalg.norm(np.asarray(res.t) - t) < 0.05
+    assert np.linalg.norm(np.asarray(res.t) - t) < err_plain
+
+
+def test_pnp_ransac_clean_data_matches_plain():
+    rng = np.random.RandomState(6)
+    X = rng.uniform(-1, 1, (10, 3)).astype(np.float32)
+    R, t = _random_pose(rng)
+    p = X @ R.T + t
+    x = (p[:, :2] / p[:, 2:3]).astype(np.float32)
+    res = pnp.solve_pnp_ransac(jax.random.PRNGKey(1), jnp.asarray(X),
+                               jnp.asarray(x), jnp.ones(10))
+    np.testing.assert_allclose(np.asarray(res.R), R, atol=2e-3)
+
+
 def test_pnp_insufficient_points_flagged():
     X = jnp.zeros((8, 3))
     x = jnp.zeros((8, 2))
