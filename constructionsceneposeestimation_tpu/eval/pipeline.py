@@ -105,6 +105,7 @@ def evaluate_equipment_6dof(
     heatmaps: Optional[Array] = None, score_threshold: float = 0.3,
     rmse_gate_px: float = 8.0, inlier_px: float = 10.0,
     use_ransac: bool = True, key: Optional[Array] = None,
+    ground_prior: bool = False,
 ) -> Dict[str, Array]:
     """PnP pose recovery + ADD metrics for one equipment class.
 
@@ -135,7 +136,12 @@ def evaluate_equipment_6dof(
     Xb = jnp.broadcast_to(model_pts, (B,) + model_pts.shape)
     # Thresholds calibrated in PIXELS, converted to normalized coords.
     px2n = 1.0 / float(intr.fx)
-    if use_ransac and not use_gt_keypoints:
+    if ground_prior:
+        pose7 = batch.camera_pose7
+        R_wp = rotation.matrix_from_quat_xyzw(pose7[..., 3:])
+        res = jax.vmap(pnp_ops.solve_ground_pose)(
+            Xb, x, w, R_wp, pose7[..., :3])
+    elif use_ransac and not use_gt_keypoints:
         keys = jax.random.split(key if key is not None else jax.random.PRNGKey(0), B)
         res = jax.vmap(lambda k, X, xx, ww: pnp_ops.solve_pnp_ransac(
             k, X, xx, ww, inlier_thresh=inlier_px * px2n))(keys, Xb, x, w)
@@ -149,6 +155,18 @@ def evaluate_equipment_6dof(
     # from noisy keypoints is ill-conditioned; production consumers reject
     # high-residual solutions rather than trust them.
     accepted = valid & (res.rmse <= rmse_gate_px * px2n)
+    if ground_prior:
+        # Site-bounds gate: equipment lives inside the fence (reference
+        # bounds, generate_construction_data.py:935-936 + margin). Rare bad
+        # GN basins land tens of meters out with plausible reprojection.
+        from ..config import RandomizationConfig
+        rc = RandomizationConfig()
+        t_world = jnp.einsum("bij,bj->bi", R_wp, res.t) + pose7[..., :3]
+        in_site = (
+            (t_world[:, 0] >= rc.fence_x[0] - 2.0) & (t_world[:, 0] <= rc.fence_x[1] + 2.0)
+            & (t_world[:, 1] >= rc.fence_y[0] - 2.0) & (t_world[:, 1] <= rc.fence_y[1] + 2.0)
+        )
+        accepted = accepted & in_site
     return {
         "add_mean": jnp.sum(jnp.where(accepted, add, 0.0)) / jnp.maximum(jnp.sum(accepted), 1),
         "add_0_1d": metrics.add_accuracy(add, dia, accepted),

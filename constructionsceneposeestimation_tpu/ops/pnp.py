@@ -163,6 +163,90 @@ def normalize_pixels(uv: Array, fx: Array, fy: Array, cx: Array, cy: Array) -> A
     return jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], -1)
 
 
+def solve_ground_pose(
+    points_3d: Array,  # (N, 3) model-frame points (z up, object on z=0)
+    points_2d: Array,  # (N, 2) normalized image coords
+    weights: Array,  # (N,)
+    R_wp: Array,  # (3, 3) world-from-pinhole camera rotation
+    cam_pos: Array,  # (3,) camera position (world)
+    yaw_candidates: int = 16,
+    iters: int = 12,
+    damping: float = 1e-5,
+    min_points: int = 3,
+) -> PnPResult:
+    """Pose with the construction-site ground prior: the object stands
+    upright on the ground plane, so only (x, y, yaw) are free.
+
+    Full 6-DoF PnP at 15-30 m range is rotation-ambiguous under weak
+    perspective (measured 30-105 deg errors from 2-3 px keypoint noise);
+    the 3-DoF ground-constrained solve is well-conditioned. Requires the
+    camera extrinsics (calibrated in deployment; exact at datagen).
+    Initialization: centroid ray dropped to the object's half-height plane +
+    a yaw grid; refinement: Gauss-Newton on (x, y, yaw). Returns the pose in
+    the CAMERA frame (like solve_pnp) for metric compatibility.
+    """
+    n_usable = jnp.sum(weights > 0, -1)
+    valid = n_usable >= min_points
+    w_safe = jnp.where(valid, weights, jnp.ones_like(weights))
+    wsum = jnp.maximum(jnp.sum(w_safe), 1e-9)
+
+    # --- init: intersect the weighted-centroid ray with z = z_center ---
+    z_c = jnp.mean(points_3d[:, 2])
+    uvc = jnp.sum(points_2d * w_safe[:, None], 0) / wsum
+    d_pin = jnp.concatenate([uvc, jnp.ones(1, points_2d.dtype)])
+    d_w = R_wp @ d_pin
+    s = (z_c - cam_pos[2]) / jnp.where(jnp.abs(d_w[2]) < 1e-6, 1e-6, d_w[2])
+    s = jnp.clip(s, 0.5, 500.0)
+    xy0 = (cam_pos + s * d_w)[:2]
+
+    def residuals(params):
+        x, y, yaw = params[0], params[1], params[2]
+        c, si = jnp.cos(yaw), jnp.sin(yaw)
+        Rz = jnp.array([[c, -si, 0.0], [si, c, 0.0], [0.0, 0.0, 1.0]])
+        p_w = points_3d @ Rz.T + jnp.stack([x, y, jnp.zeros_like(x)])
+        p_cam = (p_w - cam_pos) @ R_wp  # R_wp^T applied row-wise
+        z = jnp.where(jnp.abs(p_cam[:, 2]) < 1e-6, 1e-6, p_cam[:, 2])
+        proj = p_cam[:, :2] / z[:, None]
+        return ((proj - points_2d) * w_safe[:, None]).reshape(-1), p_cam
+
+    # --- yaw grid, pick the best start ---
+    yaws = jnp.arange(yaw_candidates) * (2.0 * jnp.pi / yaw_candidates)
+
+    def score(yaw):
+        r, _ = residuals(jnp.stack([xy0[0], xy0[1], yaw]))
+        return jnp.sum(r * r)
+
+    best_yaw = yaws[jnp.argmin(jax.vmap(score)(yaws))]
+    params0 = jnp.stack([xy0[0], xy0[1], best_yaw])
+
+    def gn(params, _):
+        J = jax.jacfwd(lambda p: residuals(p)[0])(params)  # (2N, 3)
+        r, _ = residuals(params)
+        H = J.T @ J + damping * jnp.eye(3)
+        delta = -jnp.linalg.solve(H, J.T @ r)
+        return params + delta, None
+
+    params, _ = jax.lax.scan(gn, params0, None, length=iters)
+    r, p_cam = residuals(params)
+    rmse = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(jnp.sum(w_safe), 1e-9))
+
+    c, si = jnp.cos(params[2]), jnp.sin(params[2])
+    Rz = jnp.array([[c, -si, 0.0], [si, c, 0.0], [0.0, 0.0, 1.0]])
+    t_w = jnp.stack([params[0], params[1], jnp.zeros(())])
+    # Camera-frame pose: p_cam = R_wp^T (Rz X + t_w - cam).
+    R_cam = R_wp.T @ Rz
+    t_cam = R_wp.T @ (t_w - cam_pos)
+    cheirality = jnp.mean(p_cam[:, 2] * (w_safe > 0)) > 0
+    valid = valid & cheirality
+    eye = jnp.eye(3, dtype=R_cam.dtype)
+    return PnPResult(
+        R=jnp.where(valid, R_cam, eye),
+        t=jnp.where(valid, t_cam, jnp.zeros_like(t_cam)),
+        rmse=rmse,
+        valid=valid,
+    )
+
+
 def solve_pnp_ransac(
     key: Array,
     points_3d: Array,  # (N, 3)

@@ -192,6 +192,39 @@ def test_pnp_ransac_clean_data_matches_plain():
     np.testing.assert_allclose(np.asarray(res.R), R, atol=2e-3)
 
 
+def test_ground_pose_recovery():
+    # Object upright on the ground, camera looking at it: (x, y, yaw) must be
+    # recovered exactly from clean projections, and robustly from noisy ones.
+    import jax.numpy as jnp2
+    from constructionsceneposeestimation_tpu.core import camera as cam_mod
+    rng = np.random.RandomState(7)
+    X = np.array([[1.5, 1.1, 0.45], [1.5, -1.1, 0.45], [-1.5, 1.1, 0.45],
+                  [-1.5, -1.1, 0.45], [2.25, 1.05, 2.2], [2.25, -1.05, 2.2],
+                  [-2.1, 1.05, 1.9], [-2.1, -1.05, 1.9]], np.float32)
+    for trial in range(3):
+        yaw = rng.uniform(-np.pi, np.pi)
+        txy = rng.uniform(-5, 5, 2)
+        c, s = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        cam_pos = np.array([20.0, 5.0, 2.5], np.float32)
+        tgt = np.array([0.0, 0.0, 1.0], np.float32)
+        M = cam_mod.look_at_matrix(jnp2.asarray(cam_pos), jnp2.asarray(tgt))
+        R_wp = np.asarray(cam_mod.world_from_pinhole_matrix(
+            jnp2.asarray(cam_pos), jnp2.asarray(tgt)))
+        p_w = X @ Rz.T + np.array([txy[0], txy[1], 0.0], np.float32)
+        p_cam = (p_w - cam_pos) @ R_wp  # pinhole coords
+        x2d = (p_cam[:, :2] / p_cam[:, 2:3]).astype(np.float32)
+        noise = rng.normal(0, 0.002, x2d.shape).astype(np.float32) if trial else 0
+        res = pnp.solve_ground_pose(
+            jnp.asarray(X), jnp.asarray(x2d + noise), jnp.ones(8),
+            jnp.asarray(R_wp), jnp.asarray(cam_pos))
+        assert bool(res.valid)
+        # Recovered camera-frame pose must match p_cam = R X + t.
+        rec = np.asarray(res.R) @ X.T + np.asarray(res.t)[:, None]
+        tol = 0.02 if trial == 0 else 0.45
+        np.testing.assert_allclose(rec.T, p_cam, atol=tol)
+
+
 def test_pnp_insufficient_points_flagged():
     X = jnp.zeros((8, 3))
     x = jnp.zeros((8, 2))
