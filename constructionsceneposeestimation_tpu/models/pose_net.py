@@ -12,7 +12,7 @@ crane part's 8 box corners (the PnP targets).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,7 @@ replaces the label_*.json scan at 1357-1367).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from ..core import camera as cam_mod
 from ..core import transforms
 from ..scene import world as world_mod
-from . import raycast as rc
 from . import shading as sh
 
 Array = jax.Array

@@ -9,9 +9,10 @@ batched ray-caster intersects in closed form — static shapes, no mesh I/O,
 MXU/VPU-friendly.
 
 Every class also carries a canonical keypoint set in object-local coordinates;
-these drive the heatmap/PnP pipeline (BASELINE.json north star). Equipment
-classes use their 8 local-AABB corners (natural PnP targets); the human uses
-the 17-keypoint COCO skeleton (BASELINE.json config 3).
+these drive the heatmap/PnP pipeline (BASELINE.json north star). Crane parts
+use their box corners (actual surface corners of the box geometry), the dumper
+uses semantic surface features (wheel hubs, cab/bed corners — see its
+docstring), and the human uses the 17-keypoint COCO skeleton (config 3).
 
 Dimensions are in meters at world2.usd scale (fence height 2 m per the asset
 filename `Construction_Site...Fencing-height-2`; crane boom reach ~6-8 m per
@@ -24,8 +25,6 @@ import dataclasses
 from typing import Dict, List, Tuple
 
 import numpy as np
-
-from . import taxonomy
 
 # Primitive kinds understood by render/raycast.py
 PLANE = 0  # params: unused (z=0 plane in local frame)

@@ -9,8 +9,7 @@ code at all (SURVEY.md section 0); this supplies it TPU-first.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
