@@ -36,9 +36,14 @@ def cmd_generate(args) -> None:
                                         include_heatmaps=want_hms))
     seed = jax.random.PRNGKey(args.seed)
 
-    pending = resume.pending_frames(args.out, args.frames)
-    print(f"generating {len(pending)}/{args.frames} frames "
-          f"(resume skipped {args.frames - len(pending)}, format={args.format})")
+    # Pending ids batched into CONTIGUOUS runs: the pipeline's scene-cadence
+    # dedup anchors its group window at the batch's first id, so a batch with
+    # interior holes (possible after a partial resume) would silently render
+    # frames with the wrong scene.
+    chunks = resume.pending_chunks(args.out, args.frames, args.batch)
+    n_pending = sum(len(c) for c in chunks)
+    print(f"generating {n_pending}/{args.frames} frames "
+          f"(resume skipped {args.frames - n_pending}, format={args.format})")
     writer = None
     if args.format == "reference":
         writer = dataset_writer.DatasetWriter(cfg, root=args.out, echo_log=args.verbose)
@@ -46,10 +51,10 @@ def cmd_generate(args) -> None:
         packed.save_manifest(args.out, pipe.roster, cfg)
     t0 = time.time()
     done = 0
-    for i in range(0, len(pending), args.batch):
-        chunk = pending[i:i + args.batch]
-        # Static batch shape: pad the tail chunk with repeats (rewritten files
-        # are bit-identical thanks to per-frame determinism).
+    for ci, chunk in enumerate(chunks):
+        # Static batch shape: pad short chunks with repeats of the last id
+        # (same id -> same scene group; rewritten files are bit-identical
+        # thanks to per-frame determinism).
         ids = (chunk + [chunk[-1]] * (args.batch - len(chunk)))[: args.batch]
         batch = gen(seed, jnp.asarray(ids))
         if writer is not None:
@@ -60,9 +65,9 @@ def cmd_generate(args) -> None:
                 os.path.join(args.out, f"shard_{ids[0]:06d}.npz"), batch, pipe.roster)
             resume.record_completed(args.out, [int(f) for f in chunk])
         done += len(chunk)
-        if args.verbose or (i // args.batch) % 10 == 0:
+        if args.verbose or ci % 10 == 0:
             fps = done / max(time.time() - t0, 1e-9)
-            print(f"  {done}/{len(pending)} frames ({fps:.1f} fps incl. writes)")
+            print(f"  {done}/{n_pending} frames ({fps:.1f} fps incl. writes)")
     if writer is not None:
         print(writer.finish())
     else:
@@ -81,7 +86,8 @@ def _run_training(args):
 
     cfg = Config(
         pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
-        train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1)),
+        train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1),
+                          loss=args.loss),
     )
     model = pose_net.make_model(lite=args.lite)
     pipe = pipeline_mod.Pipeline(
@@ -137,7 +143,9 @@ def cmd_train_eval(args) -> None:
     keys = jax.vmap(lambda i: jax.random.fold_in(eval_seed, i))(jnp.arange(args.eval_frames))
     images = jax.vmap(lambda k, rgb: preprocess.preprocess_frame(
         k, rgb, args.size, args.size, augment=False))(keys, batch.rgb)
-    hm_pred = pose_net.forward(model, state.params, images)
+    # Focal loss trains logits: decode paths must see sigmoid(output).
+    hm_pred = pose_net.output_to_heatmaps(
+        pose_net.forward(model, state.params, images), cfg.train.loss)
     stride = cfg.pipeline.heatmap_stride
 
     floor = eval_pipeline.evaluate_decode(batch, pipe.roster, stride)
@@ -201,6 +209,8 @@ def main() -> None:
     t.add_argument("--size", type=int, default=256)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--lite", action="store_true")
+    t.add_argument("--loss", choices=["mse", "focal"], default="focal",
+                   help="heatmap loss (focal = the README headline config)")
     t.add_argument("--inner", type=int, default=10,
                    help="train steps per device dispatch (lax.scan)")
     t.add_argument("--ckpt-dir", default=None,
@@ -213,6 +223,8 @@ def main() -> None:
     te.add_argument("--size", type=int, default=256)
     te.add_argument("--seed", type=int, default=0)
     te.add_argument("--lite", action="store_true")
+    te.add_argument("--loss", choices=["mse", "focal"], default="focal",
+                    help="heatmap loss (focal = the README headline config)")
     te.add_argument("--inner", type=int, default=50)
     te.add_argument("--eval-frames", type=int, default=16)
     te.add_argument("--pnp-threshold", type=float, default=0.15)

@@ -61,7 +61,15 @@ class DatasetWriter:
         self.dirs = writers.ensure_dataset_dirs(root or cfg.output_dir)
         self.logger = quality.DataQualityLogger(self.dirs["logs"], echo=echo_log)
         self.pool = cf.ThreadPoolExecutor(max_workers=max_workers)
+        # Dedicated 1-worker executor for manifest finalization: each batch's
+        # record_completed must run only AFTER that batch's file writes have
+        # all resolved (a crash mid-batch must not mark unwritten frames
+        # complete — they'd be skipped forever on resume). A separate executor
+        # keeps the waiter from starving the write pool, and its single worker
+        # serializes manifest updates.
+        self.manifest_pool = cf.ThreadPoolExecutor(max_workers=1)
         self.pending: list = []
+        self._batch_futs: list = []
         pc = cfg.pipeline
         self.cam_params = schema.camera_params_dict(
             cfg.camera.focal_length, cfg.camera.horizontal_aperture,
@@ -75,10 +83,13 @@ class DatasetWriter:
         self.cx, self.cy = float(intr.cx), float(intr.cy)
 
     def _submit(self, fn, *args):
-        self.pending.append(self.pool.submit(fn, *args))
+        fut = self.pool.submit(fn, *args)
+        self.pending.append(fut)
+        self._batch_futs.append(fut)
 
     def write_batch(self, batch, roster) -> None:
         """FrameBatch (host numpy or device arrays) -> files + quality log."""
+        self._batch_futs = []
         cfg = self.cfg.pipeline
         frame_ids = np.asarray(batch.frame_id)
         rgb = np.asarray(batch.rgb)
@@ -123,7 +134,13 @@ class DatasetWriter:
                              self.cfg.pipeline.bug_compatible_schema)
             self.logger.log_labels(len(objects))
             self.logger.log_frame_end(True)
-        resume.record_completed(self.dirs["root"], [int(f) for f in frame_ids])
+
+        def _finalize(futs=self._batch_futs, ids=[int(f) for f in frame_ids]):
+            for f in futs:
+                f.result()  # raises on any failed write: batch stays pending
+            resume.record_completed(self.dirs["root"], ids)
+
+        self.pending.append(self.manifest_pool.submit(_finalize))
 
     def _write_pointcloud(self, fid: int, depth, rgb, pose7) -> None:
         xyzrgb = _np_backproject_xyzrgb(depth, rgb, self.fx, self.fy,
@@ -140,4 +157,5 @@ class DatasetWriter:
         self.flush()
         report = self.logger.save_summary()
         self.pool.shutdown(wait=True)
+        self.manifest_pool.shutdown(wait=True)
         return report

@@ -107,8 +107,45 @@ def format_floats_6f(data: np.ndarray, header: str = "") -> bytes:
     return ("\n".join(lines) + "\n").encode()
 
 
+# The EXACT cv2.applyColorMap(..., COLORMAP_JET) LUT (captured from OpenCV
+# 5.0, byte-tested vs cv2 in tests/test_io.py) — the reference's depth viz
+# uses it directly (generate_construction_data.py:1690-1709). Hex planes B/G/R.
+_JET_B = bytes.fromhex(
+    "8084888c9094989ca0a4a8acb0b4b8bcc0c4c8ccd0d4d8dce0e4e8ecf0f4f8fcffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "fffffffffffffffffffffffffffffffffffffffffffffffffefaf6f2eeeae6e2dedad6d2"
+    "cecac6c2bebab6b2aeaaa6a29e9a96928e8a86827e7a76726e6a66625e5a56524e4a4642"
+    "3e3a36322e2a26221e1a16120e0a06010000000000000000000000000000000000000000"
+    "000000000000000000000000000000000000000000000000000000000000000000000000"
+    "000000000000000000000000000000000000000000000000000000000000000000000000"
+    "00000000")
+_JET_G = bytes.fromhex(
+    "00000000000000000000000000000000000000000000000000000000000000000004080c"
+    "1014181c2024282c3034383c4044484c5054585c6064686c7074787c8084888c9094989c"
+    "a0a4a8acb0b4b8bcc0c4c8ccd0d4d8dce0e4e8ecf0f4f8fcffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "fffffffffffffffffffffffffffffffffcf8f4f0ece8e4e0dcd8d4d0ccc8c4c0bcb8b4b0"
+    "aca8a4a09c9894908c8884807c7874706c6864605c5854504c4844403c3834302c282420"
+    "1c1814100c08040000000000000000000000000000000000000000000000000000000000"
+    "00000000")
+_JET_R = bytes.fromhex(
+    "000000000000000000000000000000000000000000000000000000000000000000000000"
+    "000000000000000000000000000000000000000000000000000000000000000000000000"
+    "00000000000000000000000000000000000000000000000002060a0e12161a1e22262a2e"
+    "32363a3e42464a4e52565a5e62666a6e72767a7e82868a8e92969a9ea2a6aaaeb2b6babe"
+    "c2c6caced2d6dadee2e6eaeef2f6fafeffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "fffffffffffffffffcf8f4f0ece8e4e0dcd8d4d0ccc8c4c0bcb8b4b0aca8a4a09c989490"
+    "8c888480")
+_JET_LUT_BGR = np.stack([
+    np.frombuffer(_JET_B, np.uint8),
+    np.frombuffer(_JET_G, np.uint8),
+    np.frombuffer(_JET_R, np.uint8),
+], axis=-1)
+
+
 def jet_colormap(gray: np.ndarray) -> np.ndarray:
-    """uint8 (...,) -> BGR uint8 (..., 3) JET colormap."""
+    """uint8 (...,) -> BGR uint8 (..., 3), exact cv2 COLORMAP_JET."""
     gray = np.ascontiguousarray(gray, np.uint8)
     flat = gray.reshape(-1)
     lib = get_lib()
@@ -116,9 +153,4 @@ def jet_colormap(gray: np.ndarray) -> np.ndarray:
         out = np.empty((flat.size, 3), np.uint8)
         lib.jet_colormap(flat.ctypes.data, out.ctypes.data, flat.size)
         return out.reshape(gray.shape + (3,))
-    v = flat.astype(np.float64) / 255.0
-    r = np.clip(1.5 - np.abs(4 * v - 3), 0, 1)
-    g = np.clip(1.5 - np.abs(4 * v - 2), 0, 1)
-    b = np.clip(1.5 - np.abs(4 * v - 1), 0, 1)
-    out = np.stack([b, g, r], -1)
-    return np.round(out * 255).astype(np.uint8).reshape(gray.shape + (3,))
+    return _JET_LUT_BGR[flat].reshape(gray.shape + (3,))

@@ -66,3 +66,27 @@ def record_completed(root: str, frame_ids: List[int]) -> None:
 def pending_frames(root: str, total: int) -> List[int]:
     done = load_manifest(root)
     return [i for i in range(total) if i not in done]
+
+
+def contiguous_chunks(frame_ids: List[int], batch: int) -> List[List[int]]:
+    """Split ids into contiguous runs, each chunked to <= ``batch``.
+
+    The generate pipeline's scene-cadence dedup gathers each frame's scene
+    from a group window anchored at the batch's first id, so a batch MUST be
+    a contiguous id run — a resume manifest with interior holes would
+    otherwise silently render frames with a clamped edge group's scene."""
+    chunks: List[List[int]] = []
+    run: List[int] = []
+    for fid in frame_ids:
+        if run and fid != run[-1] + 1:
+            chunks.extend(run[i:i + batch] for i in range(0, len(run), batch))
+            run = []
+        run.append(fid)
+    if run:
+        chunks.extend(run[i:i + batch] for i in range(0, len(run), batch))
+    return chunks
+
+
+def pending_chunks(root: str, total: int, batch: int) -> List[List[int]]:
+    """Pending frames grouped into generate-safe contiguous batches."""
+    return contiguous_chunks(pending_frames(root, total), batch)

@@ -57,6 +57,15 @@ def forward(model, params, images: Array) -> Array:
     return jnp.transpose(hm, (0, 3, 1, 2))
 
 
+def output_to_heatmaps(raw: Array, loss: str = "mse") -> Array:
+    """Map raw network output to heatmap-space values for decoding.
+
+    The focal loss (train/losses.focal_heatmap_loss) trains LOGITS — sigmoid
+    lives inside the loss — so decode/score-threshold/DARK paths must see
+    sigmoid(output). MSE trains heatmap values directly (identity)."""
+    return jax.nn.sigmoid(raw) if loss == "focal" else raw
+
+
 def decode_keypoints(heatmaps: Array, stride: float = 4.0, use_dark: bool = True):
     """(B, C, h, w) -> uv in input-image pixels (B, C, 2) + scores (B, C)."""
     fn = decode_ops.dark_decode if use_dark else decode_ops.soft_argmax

@@ -124,6 +124,25 @@ def test_jet_colormap_endpoints():
     assert bgr[2, 2] > 100 and bgr[2, 0] == 0  # red channel high
 
 
+def test_jet_colormap_byte_exact_vs_cv2():
+    """The LUT must be the EXACT cv2.COLORMAP_JET table (reference depth viz,
+    generate_construction_data.py:1690-1709) — native path and fallback."""
+    cv2 = pytest.importorskip("cv2")
+    g = np.arange(256, dtype=np.uint8)
+    ref = cv2.applyColorMap(g.reshape(1, 256), cv2.COLORMAP_JET)[0]
+    np.testing.assert_array_equal(native.jet_colormap(g), ref)
+    np.testing.assert_array_equal(native._JET_LUT_BGR, ref)
+
+
+def test_format_floats_large_values_match_printf():
+    """fmt_f6's fixed-point fast path overflows uint64 above ~1.8e13; the
+    snprintf fallback must take over below that, keeping printf parity."""
+    vals = np.asarray([[1.7e13, 1.9e13, 2.0e14, 9.1e15, -1.85e13, 123.456]],
+                      np.float32)
+    want = (" ".join(f"{float(v):.6f}" for v in vals[0]) + "\n").encode()
+    assert native.format_floats_6f(vals) == want
+
+
 def test_depth_outputs(tmp_path):
     depth = np.array([[1.0, 2.0], [np.inf, 0.0]], np.float32)
     csv = str(tmp_path / "d.csv")
@@ -164,6 +183,76 @@ def test_quality_logger_summary_schema(tmp_path):
     assert len(data["frame_logs"]) == 2
     assert "=== 数据生成汇总报告 ===" in report
     assert "点云为空: 1" in report  # issue histogram (split-on-colon parsing)
+
+
+def test_contiguous_chunks_split_on_holes():
+    chunks = resume.contiguous_chunks([0, 1, 2, 3, 10, 11, 12, 950], batch=3)
+    assert chunks == [[0, 1, 2], [3], [10, 11, 12], [950]]
+    assert resume.contiguous_chunks([], 4) == []
+
+
+def test_resume_holes_render_correct_scenes():
+    """Frames generated via resume-style contiguous chunks must be
+    bit-identical to the same frames from plain contiguous runs — the
+    scene-cadence group window is anchored at the batch's first id, so a
+    batch spanning a manifest hole used to render the wrong scene."""
+    cfg = Config(
+        scene=SceneConfig(n_cones=2, n_trees=1, n_fence_panels=4),
+        pipeline=PipelineConfig(render_width=64, render_height=64),
+    )
+    pipe = pipeline_mod.Pipeline(cfg)
+    gen = jax.jit(pipe.make_generate_fn())
+    seed = jax.random.PRNGKey(0)
+    B = 4
+
+    def run(ids):
+        padded = (ids + [ids[-1]] * (B - len(ids)))[:B]
+        return gen(seed, jnp.asarray(padded))
+
+    # Resume left holes: pending = {8, 9} U {32, 33} (different scene groups
+    # under the default cadence of 10).
+    pending = [8, 9, 32, 33]
+    chunks = resume.contiguous_chunks(pending, B)
+    assert chunks == [[8, 9], [32, 33]]
+    got = {}
+    for chunk in chunks:
+        out = run(chunk)
+        for i, fid in enumerate(chunk):
+            got[fid] = jax.tree_util.tree_map(lambda x: np.asarray(x[i]), out)
+    # Oracle: the same frames out of contiguous full batches.
+    for start in (8, 32):
+        ref = run(list(range(start, start + B)))
+        for i, fid in enumerate(range(start, start + 2)):
+            np.testing.assert_array_equal(got[fid].rgb, np.asarray(ref.rgb[i]))
+            np.testing.assert_array_equal(got[fid].depth, np.asarray(ref.depth[i]))
+            np.testing.assert_array_equal(got[fid].euler_deg,
+                                          np.asarray(ref.euler_deg[i]))
+            np.testing.assert_array_equal(got[fid].center,
+                                          np.asarray(ref.center[i]))
+
+
+def test_writer_manifest_records_only_after_writes_land(tmp_path, monkeypatch):
+    """A failed file write must leave the batch's frames PENDING in the
+    manifest (recording completion before the thread pool flushed used to
+    mark crashed-away frames complete forever)."""
+    cfg = Config(
+        scene=SceneConfig(n_cones=2, n_trees=1, n_fence_panels=4),
+        pipeline=PipelineConfig(render_width=64, render_height=64),
+    )
+    pipe = pipeline_mod.Pipeline(cfg)
+    gen = jax.jit(pipe.make_generate_fn(ladder=True))
+    batch = gen(jax.random.PRNGKey(0), jnp.arange(2))
+    root = str(tmp_path / "ds")
+
+    def boom(path, rgb, level=1):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(writers, "save_rgb_png", boom)
+    w = dataset_writer.DatasetWriter(cfg, root=root)
+    w.write_batch(batch, pipe.roster)
+    with pytest.raises(OSError):
+        w.flush()
+    assert resume.pending_frames(root, 2) == [0, 1]
 
 
 def test_resume_reference_and_manifest(tmp_path):
