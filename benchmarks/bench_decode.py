@@ -1,34 +1,30 @@
 """Secondary benchmark: heatmap-decode throughput (north star: >=5k img/s).
 
-Measures the full inference decode path on (B, 83, 128, 128) heatmaps:
-DARK decode (blur + argmax + log-Hessian refinement) -> per-class PnP for the
-equipment classes. Prints one JSON line per stage.
+Measures the inference decode path on (B, 83, 128, 128) heatmaps: DARK decode
+(blur + argmax + log-Hessian refinement), soft-argmax, and multi-peak
+extraction. Prints one JSON line per stage.
+
+Timing uses ``utils/profiling.chained_ms`` — a device-side chain where each
+iteration's input depends on the previous output — per the repo timing rules
+(async submit-then-block under-reports through the axon tunnel; host
+per-call dispatch costs 25-400 ms).
 """
 
 import json
 import os
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
 
-from constructionsceneposeestimation_tpu.eval import pipeline as eval_pipeline
 from constructionsceneposeestimation_tpu.ops import decode, heatmap
 from constructionsceneposeestimation_tpu.scene import assets
+from constructionsceneposeestimation_tpu.utils import profiling
 
 B = 256
 C = assets.NUM_KEYPOINT_CHANNELS
 H = W = 128
-
-
-def timed(fn, *args, n=10):
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(n)]
-    jax.block_until_ready(outs[-1])
-    return (time.perf_counter() - t0) / n
 
 
 def main():
@@ -37,21 +33,27 @@ def main():
     ch = jax.random.randint(jax.random.PRNGKey(1), (B, 200), 0, C)
     vis = jnp.ones((B, 200), bool)
     hms = heatmap.render_heatmaps_pallas(uv, ch, vis, C, H, W, 2.0, stride=4.0)
-    jax.block_until_ready(hms)
+    hms = jax.block_until_ready(hms)
 
-    f_dark = jax.jit(lambda h: decode.dark_decode(h))
-    dt = timed(f_dark, hms)
-    print(json.dumps({
-        "metric": "dark_decode_img_per_sec", "value": round(B / dt, 1),
-        "unit": "img/s", "vs_baseline": round(B / dt / 5000.0, 3),
-    }))
+    def emit(name, ms):
+        print(json.dumps({
+            "metric": f"{name}_img_per_sec", "value": round(B / (ms / 1e3), 1),
+            "unit": "img/s", "vs_baseline": round(B / (ms / 1e3) / 5000.0, 3),
+        }))
 
-    f_soft = jax.jit(lambda h: decode.soft_argmax(h))
-    dt = timed(f_soft, hms)
-    print(json.dumps({
-        "metric": "soft_argmax_img_per_sec", "value": round(B / dt, 1),
-        "unit": "img/s", "vs_baseline": round(B / dt / 5000.0, 3),
-    }))
+    # Each step perturbs the input heatmaps with an f32 epsilon derived from
+    # the carried accumulator (un-elidable; int*0 would constant-fold) and
+    # carries a scalar derived from the decoded output.
+    def chain(fn):
+        def step(acc):
+            out_uv, out_sc = fn(hms + acc * 1e-30)
+            return acc + jnp.sum(out_uv) * 1e-12
+        return step
+
+    emit("dark_decode", profiling.chained_ms(chain(decode.dark_decode)))
+    emit("soft_argmax", profiling.chained_ms(chain(decode.soft_argmax)))
+    emit("extract_peaks_8", profiling.chained_ms(
+        chain(lambda h: decode.extract_peaks(h, max_peaks=8))))
 
 
 if __name__ == "__main__":

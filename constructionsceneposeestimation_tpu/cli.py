@@ -174,6 +174,20 @@ def cmd_train_eval(args) -> None:
           f"ADD-0.1d {float(add['add_0_1d']):.3f} "
           f"(accepted {int(add['n_accepted'])}/{int(add['n_valid'])}, "
           f"rmse {float(add['rmse']):.4f})")
+    # Crane: FK-constrained joint solve over all 4 articulated parts
+    # (BASELINE config 4 is "crane/dumper"; reference part poses at
+    # generate_construction_data.py:1234-1279, 1930-1975).
+    for tag, kw in (("GT kpts", dict(use_gt_keypoints=True)),
+                    ("model kpts", dict(heatmaps=hm_pred,
+                                        score_threshold=args.pnp_threshold))):
+        cr = eval_pipeline.evaluate_crane_6dof(
+            batch, pipe.roster, pipe.intr, stride, **kw)
+        parts = " ".join(
+            f"{p.replace('crane', '')}={float(cr[f'add_0_1d_{p}']):.2f}"
+            for p in ("cranebase", "cranecolumn", "craneboom", "cranetelescopic"))
+        print(f"crane ADD ({tag}):  mean {float(cr['add_mean']):.3f} m, "
+              f"ADD-0.1d {float(cr['add_0_1d']):.3f} [{parts}] "
+              f"(accepted {int(cr['n_accepted'])}/{int(cr['n_valid'])})")
 
 
 def cmd_bench(args) -> None:

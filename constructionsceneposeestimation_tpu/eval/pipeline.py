@@ -112,9 +112,13 @@ def evaluate_equipment_6dof(
     ``use_gt_keypoints=True`` feeds the projected GT keypoints into PnP (the
     pipeline's error floor); otherwise decodes ``heatmaps`` (default: the
     batch's GT heatmaps — decode-floor evaluation)."""
-    # Roster index of the (single) instance of this class.
+    # Roster index of the (single) instance of this class. Multi-instance
+    # classes go through evaluate_equipment_6dof_multi (peak-to-instance
+    # association); the articulated crane through evaluate_crane_6dof.
     idx = [i for i, n in enumerate(roster.inst_class_names) if n == class_name]
-    assert len(idx) == 1, f"{class_name}: expected exactly one instance"
+    assert len(idx) == 1, (
+        f"{class_name}: expected exactly one instance; use "
+        "evaluate_equipment_6dof_multi for multi-instance classes")
     o = idx[0]
     tpl = assets.all_templates()[class_name]
     model_pts = jnp.asarray(tpl.keypoints)
@@ -174,3 +178,81 @@ def evaluate_equipment_6dof(
         "n_accepted": jnp.sum(accepted),
         "rmse": jnp.sum(jnp.where(valid, res.rmse, 0.0)) / jnp.maximum(jnp.sum(valid), 1),
     }
+
+
+def evaluate_crane_6dof(
+    batch, roster, intr: cam_mod.Intrinsics, stride: float = 4.0,
+    use_gt_keypoints: bool = False, heatmaps: Optional[Array] = None,
+    score_threshold: float = 0.3, rmse_gate_px: float = 8.0,
+) -> Dict[str, Array]:
+    """Articulated-crane pose recovery (BASELINE config 4 is "crane/dumper"):
+    FK-constrained fit of (x, y, column yaw, boom pitch, telescopic extension)
+    over ALL four part keypoint sets jointly (ops/pnp.solve_crane_pose), then
+    per-part ADD / ADD-0.1d against the ground-truth part poses the labels
+    carry (reference part poses: generate_construction_data.py:1234-1279,
+    1930-1975).
+
+    Returns aggregate metrics plus per-part ``add_0_1d_<part>``; a frame
+    counts only when at least ``min_points`` keypoints across parts are
+    usable and the reprojection gate passes (pixel-calibrated, like the
+    dumper evaluator).
+
+    NOTE: like every extrinsics-prior evaluator here, this derives the
+    camera rotation from ``batch.camera_pose7`` — the batch must come from
+    the default (geometrically correct) pipeline, NOT ``bug_compatible``
+    mode, whose quaternion faithfully reproduces the reference's degenerate
+    camPosOri output (identity for horizontal aims) and carries no
+    orientation information.
+    """
+    s0, s1 = roster.crane_slice
+    assert s1 - s0 == 4, "roster must carry the 4 crane part instances"
+    part_names = roster.inst_class_names[s0:s1]
+    kpts_local = jnp.asarray(roster.inst_kpts[s0:s1])  # (4, Kmax, 3)
+    kpt_valid = jnp.asarray(roster.inst_kpt_valid[s0:s1])  # (4, Kmax)
+
+    if use_gt_keypoints:
+        uv = batch.kpt_uv[:, s0:s1]  # (B, 4, Kmax, 2)
+        w = (batch.kpt_visible[:, s0:s1] & kpt_valid).astype(jnp.float32)
+    else:
+        hms = heatmaps if heatmaps is not None else batch.heatmaps
+        uv_all, score = decode_heatmaps(hms, stride)  # (B, C, 2), (B, C)
+        ch = jnp.asarray(roster.inst_kpt_channel[s0:s1])  # (4, Kmax), -1 pads
+        uv = jnp.take(uv_all, jnp.maximum(ch, 0).reshape(-1), axis=1)
+        uv = uv.reshape(uv_all.shape[0], 4, ch.shape[1], 2)
+        sc = jnp.take(score, jnp.maximum(ch, 0).reshape(-1), axis=1)
+        sc = sc.reshape(uv_all.shape[0], 4, ch.shape[1])
+        w = jnp.where((sc >= score_threshold) & kpt_valid & (ch >= 0), sc, 0.0)
+
+    x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
+    pose7 = batch.camera_pose7
+    R_wp = rotation.matrix_from_quat_xyzw(pose7[..., 3:])
+    res = jax.vmap(
+        lambda xx, ww, Rw, cp: pnp_ops.solve_crane_pose(kpts_local, xx, ww, Rw, cp)
+    )(x, w, R_wp, pose7[..., :3])
+
+    px2n = 1.0 / float(intr.fx)
+    accepted = res.valid & (res.rmse <= rmse_gate_px * px2n)
+
+    out: Dict[str, Array] = {
+        "n_valid": jnp.sum(res.valid),
+        "n_accepted": jnp.sum(accepted),
+        "rmse": jnp.sum(jnp.where(res.valid, res.rmse, 0.0))
+        / jnp.maximum(jnp.sum(res.valid), 1),
+    }
+    adds = []
+    add01s = []
+    for pi, name in enumerate(part_names):
+        o = s0 + pi
+        model_pts = kpts_local[pi][kpt_valid[pi]]
+        R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
+        add = metrics.add_metric(res.R[:, pi], res.t[:, pi], R_gt, t_gt, model_pts)
+        dia = metrics.model_diameter(model_pts)
+        gate = accepted & batch.inst_visible[:, o]
+        out[f"add_mean_{name}"] = (jnp.sum(jnp.where(gate, add, 0.0))
+                                   / jnp.maximum(jnp.sum(gate), 1))
+        out[f"add_0_1d_{name}"] = metrics.add_accuracy(add, dia, gate)
+        adds.append(out[f"add_mean_{name}"])
+        add01s.append(out[f"add_0_1d_{name}"])
+    out["add_mean"] = jnp.mean(jnp.stack(adds))
+    out["add_0_1d"] = jnp.mean(jnp.stack(add01s))
+    return out

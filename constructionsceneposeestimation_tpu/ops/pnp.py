@@ -17,12 +17,27 @@ frame (X right, Y down, Z forward): ``p_cam = R @ X + t``.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def _pin_highest(fn):
+    """Run the solver with every matmul at HIGHEST precision: TPU's default
+    bf16 passes destroy the normal-equation solves (J^T J, FK chains) —
+    observed rmse ~1e5 on v5e where CPU gives 1e-7."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 class PnPResult(NamedTuple):
@@ -94,6 +109,7 @@ def _project(R, t, X):
     return p[..., :2] / z[..., None], p
 
 
+@_pin_highest
 def solve_pnp(
     points_3d: Array,  # (N, 3) model-frame points
     points_2d: Array,  # (N, 2) normalized image coords
@@ -163,6 +179,7 @@ def normalize_pixels(uv: Array, fx: Array, fy: Array, cx: Array, cy: Array) -> A
     return jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], -1)
 
 
+@_pin_highest
 def solve_ground_pose(
     points_3d: Array,  # (N, 3) model-frame points (z up, object on z=0)
     points_2d: Array,  # (N, 2) normalized image coords
@@ -247,6 +264,162 @@ def solve_ground_pose(
     )
 
 
+class CranePnPResult(NamedTuple):
+    params: Array  # (..., 5) [x, y, yaw_col_rad, pitch_rad, ext_m]
+    R: Array  # (..., 4, 3, 3) per-part camera-frame rotations (CRANE_PART_ORDER)
+    t: Array  # (..., 4, 3)
+    rmse: Array  # (...,) weighted reprojection RMSE (normalized coords)
+    valid: Array  # (...,) bool
+
+
+def solve_crane_pose(
+    kpts_local: Array,  # (4, K, 3) part-local keypoints, kinematics.CRANE_PART_ORDER
+    points_2d: Array,  # (4, K, 2) normalized image coords
+    weights: Array,  # (4, K) >= 0
+    R_wp: Array,  # (3, 3) world-from-pinhole camera rotation
+    cam_pos: Array,  # (3,) camera position (world)
+    yaw_candidates: int = 16,
+    pitch_grid: Tuple[float, ...] = (15.0, 35.0, 55.0, 75.0),
+    iters: int = 20,
+    damping: float = 1e-4,
+    min_points: int = 6,
+) -> CranePnPResult:
+    """FK-constrained crane pose: jointly recover (x, y, column yaw, boom
+    pitch, telescopic extension) from the 2D keypoints of all four articulated
+    parts at once.
+
+    The construction-site prior makes this well-posed where per-part PnP is
+    not: the crane root never rotates and sits on the ground (reference
+    randomizer, generate_construction_data.py:1096/1104 — translation only),
+    and the parts are rigidly coupled through the kinematic chain
+    (scene/kinematics.crane_fk; reference part semantics at 110-121,
+    1234-1279). 5 unknowns vs 24 part-DOF means even a handful of visible
+    corners across parts pins the whole machine.
+
+    Initialization: centroid ray dropped to mid-crane height + a
+    (yaw x pitch) grid, all candidates scored batched; refinement:
+    Gauss-Newton on the 5 parameters with joint-limit clamping. Returns
+    per-part camera-frame poses (like solve_pnp) for ADD metrics.
+    """
+    from ..scene import kinematics  # here to keep ops/ -> scene/ one-way at import
+
+    # TPU default matmul precision is bf16: the LM normal equations
+    # (J^T J, 3x3 FK chains) lose the solve entirely at bf16 (observed rmse
+    # ~1e5 on v5e where CPU gives 1e-7). Pin everything in the solver.
+    with jax.default_matmul_precision("highest"):
+        return _solve_crane_pose_f32(
+            kpts_local, points_2d, weights, R_wp, cam_pos, kinematics,
+            yaw_candidates, pitch_grid, iters, damping, min_points)
+
+
+def _solve_crane_pose_f32(kpts_local, points_2d, weights, R_wp, cam_pos,
+                          kinematics, yaw_candidates, pitch_grid, iters,
+                          damping, min_points) -> CranePnPResult:
+    w_flat = weights.reshape(-1)
+    n_usable = jnp.sum(w_flat > 0)
+    valid = n_usable >= min_points
+    w_safe = jnp.where(valid, weights, jnp.ones_like(weights))
+
+    def part_world(params):
+        """(5,) -> per-part world (R (4,3,3), t (4,3))."""
+        joints_deg = jnp.stack([
+            jnp.rad2deg(params[2]), jnp.rad2deg(params[3]), params[4]])
+        fk = kinematics.crane_fk(joints_deg)
+        R_parts = jnp.stack([fk[p][0] for p in kinematics.CRANE_PART_ORDER])
+        t_parts = jnp.stack([fk[p][1] for p in kinematics.CRANE_PART_ORDER])
+        root = jnp.stack([params[0], params[1], jnp.zeros_like(params[0])])
+        return R_parts, t_parts + root
+
+    def residuals(params):
+        R_parts, t_parts = part_world(params)
+        p_w = (jnp.einsum("pij,pkj->pki", R_parts, kpts_local,
+                          precision=jax.lax.Precision.HIGHEST)
+               + t_parts[:, None, :])  # (4, K, 3)
+        p_cam = jnp.einsum("pkj,ji->pki", p_w - cam_pos, R_wp,
+                           precision=jax.lax.Precision.HIGHEST)
+        z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-6, 1e-6, p_cam[..., 2])
+        proj = p_cam[..., :2] / z[..., None]
+        return ((proj - points_2d) * w_safe[..., None]).reshape(-1), p_cam
+
+    # --- init: (yaw, pitch) grid with a per-candidate root-xy estimate ---
+    # The visible-keypoint centroid sits wherever the boom points, meters from
+    # the root, so a single centroid-ray xy is a bad anchor. Instead, for each
+    # joint candidate: take the FK keypoint centroid in the ROOT frame
+    # (weighted like the observations), drop the observed 2D centroid's ray to
+    # that centroid's height, and subtract the centroid's horizontal offset —
+    # a closed-form root-xy consistent with that articulation hypothesis.
+    wsum = jnp.maximum(jnp.sum(w_safe), 1e-9)
+    uvc = jnp.sum(points_2d * w_safe[..., None], (0, 1)) / wsum
+    d_pin = jnp.concatenate([uvc, jnp.ones(1, points_2d.dtype)])
+    d_w = R_wp @ d_pin
+
+    yaws = jnp.arange(yaw_candidates) * (2.0 * jnp.pi / yaw_candidates) - jnp.pi
+    pitches = jnp.deg2rad(jnp.asarray(pitch_grid, jnp.float32))
+    grid = jnp.stack(jnp.meshgrid(yaws, pitches, indexing="ij"), -1).reshape(-1, 2)
+
+    def candidate_params(yp):
+        p5 = jnp.stack([jnp.float32(0.0), jnp.float32(0.0), yp[0], yp[1],
+                        jnp.float32(1.0)])
+        R_parts, t_parts = part_world(p5)
+        p_root = (jnp.einsum("pij,pkj->pki", R_parts, kpts_local,
+                             precision=jax.lax.Precision.HIGHEST)
+                  + t_parts[:, None, :])  # (4, K, 3) root at origin
+        c = jnp.sum(p_root * w_safe[..., None], (0, 1)) / wsum
+        s = (c[2] - cam_pos[2]) / jnp.where(jnp.abs(d_w[2]) < 1e-6, 1e-6, d_w[2])
+        s = jnp.clip(s, 0.5, 500.0)
+        xy = (cam_pos + s * d_w)[:2] - c[:2]
+        return jnp.stack([xy[0], xy[1], yp[0], yp[1], jnp.float32(1.0)])
+
+    def score(yp):
+        p5 = candidate_params(yp)
+        r, _ = residuals(p5)
+        return jnp.sum(r * r), p5
+
+    scores, cands = jax.vmap(score)(grid)
+    params0 = cands[jnp.argmin(scores)]
+
+    # Joint limits + site bounds (crane lives inside the fence; reference
+    # placement bounds at generate_construction_data.py:935-941).
+    lo = jnp.asarray([-20.0, -20.0, -7.0, jnp.deg2rad(5.0), -0.5], jnp.float32)
+    hi = jnp.asarray([20.0, 20.0, 7.0, jnp.deg2rad(85.0), 2.5], jnp.float32)
+
+    def lm(carry, _):
+        params, lam = carry
+        J = jax.jacfwd(lambda p: residuals(p)[0])(params)  # (2*4K, 5)
+        r, _ = residuals(params)
+        H = J.T @ J + lam * jnp.eye(5)
+        delta = -jnp.linalg.solve(H, J.T @ r)
+        cand = jnp.clip(params + delta, lo, hi)
+        r_new, _ = residuals(cand)
+        better = jnp.sum(r_new * r_new) < jnp.sum(r * r)
+        params = jnp.where(better, cand, params)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8), lam * 5.0)
+        return (params, lam), None
+
+    (params, _), _ = jax.lax.scan(lm, (params0, jnp.float32(damping)), None,
+                                  length=iters)
+    r, p_cam = residuals(params)
+    rmse = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(jnp.sum(w_safe), 1e-9))
+
+    R_parts, t_parts = part_world(params)
+    # Camera-frame part poses: p_cam = R_wp^T (R_part X + t_part - cam).
+    R_cam = jnp.einsum("ji,pjk->pik", R_wp, R_parts,
+                       precision=jax.lax.Precision.HIGHEST)
+    t_cam = jnp.einsum("ji,pj->pi", R_wp, t_parts - cam_pos,
+                       precision=jax.lax.Precision.HIGHEST)
+    cheirality = jnp.sum(p_cam[..., 2] * (w_safe > 0)) > 0
+    valid = valid & cheirality
+    eye4 = jnp.broadcast_to(jnp.eye(3, dtype=R_cam.dtype), R_cam.shape)
+    return CranePnPResult(
+        params=params,
+        R=jnp.where(valid, R_cam, eye4),
+        t=jnp.where(valid, t_cam, jnp.zeros_like(t_cam)),
+        rmse=rmse,
+        valid=valid,
+    )
+
+
+@_pin_highest
 def solve_pnp_ransac(
     key: Array,
     points_3d: Array,  # (N, 3)

@@ -56,7 +56,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_params_fsdp(mesh: Mesh, params: Any) -> Any:
     """FSDP-style sharding tree: shard the largest axis of each >=2D param
-    over the data axis when divisible; replicate the rest."""
+    over the data axis when divisible; replicate the rest.
+
+    Leaf-wise, so it applies to ANY params-shaped tree — including optimizer
+    state (adamw's mu/nu mirror the param shapes and shard identically;
+    scalar counts/schedule state replicate). Sharding the opt state is what
+    makes FSDP actually save memory: adamw otherwise replicates 2x params
+    per device."""
     n = mesh.shape[DATA_AXIS]
 
     def spec_for(x):

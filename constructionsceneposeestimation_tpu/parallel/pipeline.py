@@ -102,6 +102,7 @@ class Pipeline:
         ann = annotate.render_frame(
             self.roster, self.caster, world, cam_pos, target, self.intr,
             lighting=lit, shade_rgb=cfg.pipeline.write_rgb,
+            bug_compatible=cfg.pipeline.bug_compatible_schema,
         )
         hms = heatmap_ops.frame_heatmaps(
             ann.kpt_uv, ann.kpt_visible, jnp.asarray(self.roster.inst_kpt_channel),

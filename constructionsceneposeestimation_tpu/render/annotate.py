@@ -79,6 +79,7 @@ def render_frame(
     kpt_occlusion_tol: float = 0.02,
     analytic_normals: bool = False,
     sun_shadows: bool = False,
+    bug_compatible: bool = False,
 ) -> FrameAnnotations:
     """Annotate a single frame. vmap over (world, cam_pos, target) for batches.
 
@@ -206,7 +207,8 @@ def render_frame(
         depth=depth,
         instance=instance,
         rgb=rgb,
-        camera_pose7=cam_mod.camera_pose7_xyzw(cam_pos, target),
+        camera_pose7=cam_mod.camera_pose7_xyzw(cam_pos, target,
+                                               bug_compatible=bug_compatible),
         inst_visible=inst_visible,
         inst_pixel_count=inst_pixel_count,
         bbox2d=bbox2d,

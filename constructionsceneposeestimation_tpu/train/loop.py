@@ -143,7 +143,11 @@ def make_sharded_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline, mes
         if cfg.train.fsdp:
             pspec = mesh_mod.shard_params_fsdp(mesh, state.params)
             params = jax.device_put(state.params, pspec)
-            opt_state = jax.device_put(state.opt_state, rep)
+            # Opt state shards leaf-wise with the SAME rule: adamw mu/nu have
+            # param shapes so they land on the param layouts; scalars
+            # replicate. Without this, "FSDP" replicates 2x params per device.
+            opt_state = jax.device_put(
+                state.opt_state, mesh_mod.shard_params_fsdp(mesh, state.opt_state))
         else:
             params = jax.device_put(state.params, rep)
             opt_state = jax.device_put(state.opt_state, rep)

@@ -64,3 +64,58 @@ def test_gt_camera_frame_pose_consistency():
     if vis.any():
         err = np.abs(np.asarray(uv) - np.asarray(gt))[vis]
         assert err.max() < 0.5, f"max reprojection gap {err.max()} px"
+
+
+def test_crane_6dof_gt_keypoints():
+    """FK-constrained crane solve from exact keypoints must recover every
+    part pose (VERDICT round-1 missing item 3: crane was never evaluated)."""
+    pipe, batch = make_batch()
+    out = eval_pipeline.evaluate_crane_6dof(
+        batch, pipe.roster, pipe.intr, use_gt_keypoints=True)
+    assert int(out["n_valid"]) > 0
+    assert int(out["n_accepted"]) > 0
+    # With exact keypoints the joint solve should pin all four parts.
+    assert float(out["add_0_1d"]) > 0.9, {
+        k: float(v) for k, v in out.items()}
+    for part in ("cranebase", "cranecolumn", "craneboom", "cranetelescopic"):
+        assert f"add_0_1d_{part}" in out
+
+
+def test_solve_crane_pose_recovers_joints():
+    """Direct solver check with synthetic projections: known root + joints,
+    recovered to tight tolerance."""
+    from constructionsceneposeestimation_tpu.ops import pnp as pnp_ops
+    from constructionsceneposeestimation_tpu.scene import kinematics
+    from constructionsceneposeestimation_tpu.core import rotation
+
+    roster = pipeline_mod.Pipeline(CFG).roster
+    s0, s1 = roster.crane_slice
+    kpts_local = jnp.asarray(roster.inst_kpts[s0:s1])
+    kpt_valid = jnp.asarray(roster.inst_kpt_valid[s0:s1])
+
+    true_xy = jnp.asarray([1.5, -2.0])
+    true_joints = jnp.asarray([35.0, 55.0, 1.4])  # yaw_col, pitch, ext (deg, deg, m)
+    fk = kinematics.crane_fk(true_joints)
+    R_parts = jnp.stack([fk[p][0] for p in kinematics.CRANE_PART_ORDER])
+    t_parts = jnp.stack([fk[p][1] for p in kinematics.CRANE_PART_ORDER])
+    root = jnp.asarray([1.5, -2.0, 0.0])
+    p_w = jnp.einsum("pij,pkj->pki", R_parts, kpts_local) + (t_parts + root)[:, None]
+
+    cam_pos = jnp.asarray([14.0, -9.0, 3.0])
+    target = jnp.asarray([0.0, 0.0, 2.0])
+    M = cam_mod.look_at_matrix(cam_pos, target)
+    R_wp = cam_mod.world_from_pinhole_matrix(cam_pos, target)
+    intr = cam_mod.intrinsics_from_apertures(12.0, 25.0, 512, 512)
+    uv, z = cam_mod.project(p_w.reshape(-1, 3), cam_pos, M, intr)
+    uv = uv.reshape(4, -1, 2)
+    x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
+    w = kpt_valid.astype(jnp.float32)
+
+    res = pnp_ops.solve_crane_pose(kpts_local, x, w, R_wp, cam_pos)
+    assert bool(res.valid)
+    got = np.asarray(res.params)
+    np.testing.assert_allclose(got[:2], np.asarray(true_xy), atol=0.05)
+    assert abs(np.rad2deg(got[2]) - 35.0) < 1.0, got
+    assert abs(np.rad2deg(got[3]) - 55.0) < 1.0, got
+    assert abs(got[4] - 1.4) < 0.05, got
+    assert float(res.rmse) < 1e-3

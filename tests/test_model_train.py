@@ -104,3 +104,35 @@ def test_sharded_train_step_runs_on_mesh():
     assert np.isfinite(float(metrics["loss"]))
     state, metrics2 = jstep(state, jax.random.PRNGKey(1), fids)
     assert int(state.step) == 2
+
+
+def test_fsdp_shards_params_and_opt_state():
+    """FSDP must shard the OPTIMIZER STATE, not just params (adamw mu/nu are
+    2x params; replicating them forfeits the memory win). Every >=2D leaf
+    whose largest axis divides the mesh must have 1/n addressable size."""
+    cfg = dataclasses.replace(TINY, train=dataclasses.replace(TINY.train, fsdp=True))
+    model = pose_net.make_model(lite=True)
+    pipe = pipeline_mod.Pipeline(cfg)
+    jstep, mesh, place = train_loop.make_sharded_train_step(cfg, model, pipe)
+    n = mesh.shape[mesh_mod.DATA_AXIS]
+    state = place(train_loop.create_train_state(cfg, model, jax.random.PRNGKey(0)))
+
+    def check_tree(tree, tag):
+        n_sharded = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            if not hasattr(leaf, "shape") or leaf.ndim < 2:
+                continue
+            if max(leaf.shape) % n == 0:
+                shard = leaf.addressable_shards[0].data
+                assert shard.size == leaf.size // n, (
+                    f"{tag}{jax.tree_util.keystr(path)}: shard {shard.shape} "
+                    f"is not 1/{n} of {leaf.shape}")
+                n_sharded += 1
+        return n_sharded
+
+    assert check_tree(state.params, "params") > 0
+    assert check_tree(state.opt_state, "opt_state") > 0
+    # The sharded layouts survive a train step (donated state keeps specs).
+    state, metrics = jstep(state, jax.random.PRNGKey(1), jnp.arange(8))
+    assert np.isfinite(float(metrics["loss"]))
+    assert check_tree(state.opt_state, "opt_state_after") > 0
