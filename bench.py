@@ -25,8 +25,8 @@ from constructionsceneposeestimation_tpu.config import Config, PipelineConfig
 from constructionsceneposeestimation_tpu.parallel import pipeline as pipeline_mod
 
 REFERENCE_FPS = 0.15
-BATCH = 64  # with vmap_chunk=8: best measured throughput on v5e (1.3k fps)
-STEPS = 8
+BATCH = 512  # with vmap_chunk=8: best measured throughput on v5e (~1.9k fps)
+STEPS = 4
 
 
 def main() -> None:

@@ -78,6 +78,38 @@ def evaluate_decode(
     }
 
 
+def evaluate_decode_associated(
+    batch, roster, stride: float, alpha: float = 0.5,
+    score_threshold: float = 0.3, max_peaks: int = 8, margin: float = 8.0,
+) -> Dict[str, Array]:
+    """Instance-resolved PCK: peaks routed to owners via bbox2d
+    (ops/decode.associate_peaks), then each GT keypoint is scored against the
+    peak ASSIGNED to its own instance — stricter than nearest-peak PCK, and
+    the decode floor that matters for multi-instance PnP."""
+    uv_pk, sc_pk = decode_ops.extract_peaks(batch.heatmaps, max_peaks)
+    uv_pk = uv_pk * stride
+    ch = jnp.asarray(roster.inst_kpt_channel)  # (O, K)
+    uv, sc = decode_ops.associate_peaks(uv_pk, sc_pk, ch, batch.bbox2d, margin)
+    d = jnp.linalg.norm(uv - batch.kpt_uv, axis=-1)  # (B, O, K)
+    valid = batch.kpt_visible & (ch >= 0)[None]
+    matched = sc >= score_threshold
+
+    span = jnp.where(batch.kpt_visible[..., None], batch.kpt_uv, jnp.nan)
+    bbox_wh = jnp.nanmax(span, axis=-2) - jnp.nanmin(span, axis=-2)
+    bbox_size = jnp.nan_to_num(jnp.max(bbox_wh, -1), nan=1.0)  # (B, O)
+    thr = jnp.maximum(alpha * bbox_size[..., None], 2.0)
+
+    correct = (d <= thr) & valid & matched
+    n_eval = jnp.sum(valid)
+    return {
+        "pck": jnp.sum(correct) / jnp.maximum(n_eval, 1),
+        "recall": jnp.sum(matched & valid) / jnp.maximum(n_eval, 1),
+        "mean_px_error_matched": jnp.sum(jnp.where(correct, d, 0.0))
+        / jnp.maximum(jnp.sum(correct), 1),
+        "n_keypoints": n_eval,
+    }
+
+
 def gt_camera_frame_pose(roster, batch, inst_index: int):
     """Ground-truth (R, t) mapping object-local points -> pinhole camera frame
     for one instance, derived from the emitted labels: p_cam = R_wp^T (R_obj
@@ -177,6 +209,70 @@ def evaluate_equipment_6dof(
         "n_valid": jnp.sum(valid),
         "n_accepted": jnp.sum(accepted),
         "rmse": jnp.sum(jnp.where(valid, res.rmse, 0.0)) / jnp.maximum(jnp.sum(valid), 1),
+    }
+
+
+def evaluate_equipment_6dof_multi(
+    batch, roster, intr: cam_mod.Intrinsics, class_name: str = "dumper",
+    stride: float = 4.0, use_gt_keypoints: bool = False,
+    heatmaps: Optional[Array] = None, score_threshold: float = 0.3,
+    rmse_gate_px: float = 8.0, max_peaks: int = 8, margin: float = 8.0,
+) -> Dict[str, Array]:
+    """Multi-instance equipment pose: peaks -> instances via bbox2d
+    association (ops/decode.associate_peaks), then a ground-prior solve per
+    (frame, instance). Lifts the single-instance restriction of
+    ``evaluate_equipment_6dof`` — multi-dumper scenes (SceneConfig.n_dumpers)
+    evaluate per instance, aggregated over all of them."""
+    idxs = [i for i, n in enumerate(roster.inst_class_names) if n == class_name]
+    assert idxs, f"no instances of {class_name}"
+    tpl = assets.all_templates()[class_name]
+    model_pts = jnp.asarray(tpl.keypoints)
+    K = tpl.num_keypoints
+    oi = jnp.asarray(idxs)
+
+    if use_gt_keypoints:
+        uv = batch.kpt_uv[:, oi, :K]  # (B, I, K, 2)
+        w = batch.kpt_visible[:, oi, :K].astype(jnp.float32)
+    else:
+        hms = heatmaps if heatmaps is not None else batch.heatmaps
+        uv_pk, sc_pk = decode_ops.extract_peaks(hms, max_peaks)
+        uv_all, sc_all = decode_ops.associate_peaks(
+            uv_pk * stride, sc_pk, jnp.asarray(roster.inst_kpt_channel),
+            batch.bbox2d, margin)
+        uv = uv_all[:, oi, :K]
+        sc = sc_all[:, oi, :K]
+        w = jnp.where(sc >= score_threshold, sc, 0.0)
+
+    x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
+    pose7 = batch.camera_pose7
+    R_wp = rotation.matrix_from_quat_xyzw(pose7[..., 3:])
+    B = x.shape[0]
+    Xb = jnp.broadcast_to(model_pts, (len(idxs),) + model_pts.shape)
+    res = jax.vmap(  # over frames
+        lambda xx, ww, Rw, cp: jax.vmap(  # over instances
+            lambda X, xi, wi: pnp_ops.solve_ground_pose(X, xi, wi, Rw, cp)
+        )(Xb, xx, ww)
+    )(x, w, R_wp, pose7[..., :3])
+
+    px2n = 1.0 / float(intr.fx)
+    accepted = res.valid & (res.rmse <= rmse_gate_px * px2n)  # (B, I)
+
+    adds = []
+    gates = []
+    for col, o in enumerate(idxs):
+        R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
+        add = metrics.add_metric(res.R[:, col], res.t[:, col], R_gt, t_gt, model_pts)
+        adds.append(add)
+        gates.append(accepted[:, col] & batch.inst_visible[:, o])
+    add = jnp.stack(adds, -1)  # (B, I)
+    gate = jnp.stack(gates, -1)
+    dia = metrics.model_diameter(model_pts)
+    return {
+        "add_mean": jnp.sum(jnp.where(gate, add, 0.0)) / jnp.maximum(jnp.sum(gate), 1),
+        "add_0_1d": metrics.add_accuracy(add, dia, gate),
+        "n_instances_evaluated": jnp.sum(gate),
+        "n_valid": jnp.sum(res.valid),
+        "n_accepted": jnp.sum(accepted),
     }
 
 

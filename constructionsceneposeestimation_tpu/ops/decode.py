@@ -118,6 +118,49 @@ def extract_peaks(heatmaps: Array, max_peaks: int = 8, blur: bool = True,
     return uv, scores
 
 
+def associate_peaks(
+    uv_pk: Array,  # (..., C, P, 2) peak pixel coords (FULL-resolution units)
+    sc_pk: Array,  # (..., C, P) peak scores
+    channels: Array,  # (O, K) int32 heatmap channel per instance keypoint, -1 pad
+    bbox2d: Array,  # (..., O, 4) [u_min, v_min, u_max, v_max]; -1 if unseen
+    margin: float = 8.0,
+):
+    """Peak-to-instance association: class-level channels carry one blob per
+    instance (20 fence panels share a channel), so instance-resolved keypoints
+    need the peaks routed to owners. Routing key: the instance's 2D box
+    (expanded by ``margin`` px) — each (instance, keypoint) slot takes the
+    highest-scoring peak of its channel inside the owner's box.
+
+    Boxes come from a detector at inference or from the renderer's
+    pixel-tight ``bbox2d`` labels at evaluation (the reference has no 2D
+    boxes at all — generate_construction_data.py labels are 3D-only — this
+    is part of the TPU build's instance-level extension).
+
+    Returns (uv (..., O, K, 2), score (..., O, K)); score 0 where no peak of
+    the right channel lands in the box (or the slot is padding).
+    """
+    O, K = channels.shape
+    ch_flat = jnp.maximum(channels, 0).reshape(-1)  # (O*K,)
+    pk = jnp.take(uv_pk, ch_flat, axis=-3)  # (..., O*K, P, 2)
+    sc = jnp.take(sc_pk, ch_flat, axis=-2)  # (..., O*K, P)
+    lead = pk.shape[:-3]
+    pk = pk.reshape(lead + (O, K) + pk.shape[-2:])  # (..., O, K, P, 2)
+    sc = sc.reshape(lead + (O, K, sc.shape[-1]))  # (..., O, K, P)
+
+    box = bbox2d[..., :, None, None, :]  # (..., O, 1, 1, 4)
+    u, v = pk[..., 0], pk[..., 1]
+    inside = (
+        (u >= box[..., 0] - margin) & (u <= box[..., 2] + margin)
+        & (v >= box[..., 1] - margin) & (v <= box[..., 3] + margin)
+        & (box[..., 2] >= 0)  # unseen instances have -1 boxes
+    )
+    sc_gated = jnp.where(inside & (channels >= 0)[..., None], sc, 0.0)
+    best = jnp.argmax(sc_gated, axis=-1)  # (..., O, K)
+    uv = jnp.take_along_axis(pk, best[..., None, None], axis=-2)[..., 0, :]
+    score = jnp.take_along_axis(sc_gated, best[..., None], axis=-1)[..., 0]
+    return uv, score
+
+
 def dark_decode(heatmaps: Array, blur: bool = True, eps: float = 1e-8):
     """(..., C, H, W) -> (uv (..., C, 2), score (..., C)) with DARK sub-pixel
     refinement. Peaks at the border skip refinement (offset clamped to 0)."""

@@ -234,7 +234,6 @@ def solve_ground_pose(
         return jnp.sum(r * r)
 
     best_yaw = yaws[jnp.argmin(jax.vmap(score)(yaws))]
-    params0 = jnp.stack([xy0[0], xy0[1], best_yaw])
 
     def gn(params, _):
         J = jax.jacfwd(lambda p: residuals(p)[0])(params)  # (2N, 3)
@@ -243,9 +242,23 @@ def solve_ground_pose(
         delta = -jnp.linalg.solve(H, J.T @ r)
         return params + delta, None
 
-    params, _ = jax.lax.scan(gn, params0, None, length=iters)
-    r, p_cam = residuals(params)
-    rmse = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(jnp.sum(w_safe), 1e-9))
+    # Symmetric-aware refinement: near-symmetric bodies (the dumper's cab vs
+    # bed) put the coarse yaw grid within noise of the pi-mirrored basin, and
+    # Gauss-Newton cannot cross between basins. Refine BOTH hypotheses and
+    # keep the lower-residual one — the small asymmetric features (wheel
+    # hubs, cab corners) decide.
+    def refine(yaw0):
+        p0 = jnp.stack([xy0[0], xy0[1], yaw0])
+        params, _ = jax.lax.scan(gn, p0, None, length=iters)
+        r, p_cam = residuals(params)
+        return params, jnp.sum(r * r), p_cam
+
+    (params2, sq2, pcam2) = jax.vmap(refine)(
+        jnp.stack([best_yaw, best_yaw + jnp.pi]))
+    pick = jnp.argmin(sq2)
+    params = params2[pick]
+    p_cam = pcam2[pick]
+    rmse = jnp.sqrt(sq2[pick] / jnp.maximum(jnp.sum(w_safe), 1e-9))
 
     c, si = jnp.cos(params[2]), jnp.sin(params[2])
     Rz = jnp.array([[c, -si, 0.0], [si, c, 0.0], [0.0, 0.0, 1.0]])

@@ -103,6 +103,7 @@ class Pipeline:
             self.roster, self.caster, world, cam_pos, target, self.intr,
             lighting=lit, shade_rgb=cfg.pipeline.write_rgb,
             bug_compatible=cfg.pipeline.bug_compatible_schema,
+            far_clip=cfg.camera.clipping[1],
         )
         hms = heatmap_ops.frame_heatmaps(
             ann.kpt_uv, ann.kpt_visible, jnp.asarray(self.roster.inst_kpt_channel),

@@ -80,6 +80,7 @@ def render_frame(
     analytic_normals: bool = False,
     sun_shadows: bool = False,
     bug_compatible: bool = False,
+    far_clip: float = 250.0,
 ) -> FrameAnnotations:
     """Annotate a single frame. vmap over (world, cam_pos, target) for batches.
 
@@ -103,24 +104,39 @@ def render_frame(
     seg = kpt_flat - cam_pos[None, :]
     n_px = rd.shape[0]
     n_seg = seg.shape[0]
-    pad = (-(n_px + n_seg)) % 16384
-    rays_all = jnp.concatenate(
-        [rd, seg, jnp.ones((pad, 3), rd.dtype)], axis=0)
+    # Two sweeps: pixel rays padded to the caster's chunk (zero pad at 512^2),
+    # segments padded only to a small tile. Folding the ~500 segments into the
+    # pixel sweep would force one extra FULL 16384-ray chunk (~6% wasted sweep).
+    pad_px = (-n_px) % 16384
+    px_rays = jnp.concatenate([rd, jnp.ones((pad_px, 3), rd.dtype)], axis=0) \
+        if pad_px else rd
+    pad_seg = (-n_seg) % 1024
+    seg_rays = jnp.concatenate([seg, jnp.ones((pad_seg, 3), seg.dtype)], axis=0) \
+        if pad_seg else seg
 
     if analytic_normals:
-        hit_all = caster(world, origin, rays_all)
+        hit_px = caster(world, origin, px_rays)
+        hit_seg = caster(world, origin, seg_rays)
     else:
-        hit_all = caster.fast(world, origin, rays_all)
-    hit = jax.tree_util.tree_map(lambda x: x[:n_px], hit_all)
-    t_occ = hit_all["t"][n_px:n_px + n_seg]
-    occ_inst = hit_all["inst"][n_px:n_px + n_seg]
+        hit_px = caster.fast(world, origin, px_rays)
+        hit_seg = caster.fast(world, origin, seg_rays)
+    hit = jax.tree_util.tree_map(lambda x: x[:n_px], hit_px)
+    t_occ = hit_seg["t"][:n_seg]
+    occ_inst = hit_seg["inst"][:n_seg]
 
     # Depth: the annotator records distance-to-image-plane (pinhole Z), not
     # euclidean range: z = t * (d . view_forward).
     view_fwd = -M[:, 0]  # camera looks along its -X axis
     cosang = jnp.einsum("nj,j->n", rd, view_fwd)
     depth = jnp.where(jnp.isfinite(hit["t"]), hit["t"] * cosang, jnp.inf).reshape(H, W)
-    instance = hit["inst"].reshape(H, W)
+    # Far clip: the reference camera's clipping_range is (0.5, 250)
+    # (generate_construction_data.py:1437) — geometry beyond the far plane
+    # never renders in Isaac, so those pixels are sky in every modality.
+    clipped = depth >= far_clip
+    depth = jnp.where(clipped, jnp.inf, depth)
+    instance = jnp.where(clipped, -2, hit["inst"].reshape(H, W))
+    hit = dict(hit, inst=instance.reshape(-1),
+               t=jnp.where(clipped.reshape(-1), jnp.inf, hit["t"]))
 
     if shade_rgb:
         if "normal" not in hit:

@@ -105,33 +105,51 @@ def randomize_scene(
     slot += 1
     oks.append(crane_ok)
 
-    # ----- dumper (1109-1156): 7 shuffled areas, first valid, else area[0] -----
+    # ----- dumpers (1109-1156): 7 shuffled areas, first valid, else area[0].
+    # The reference places one dumper; extra instances (SceneConfig.n_dumpers)
+    # repeat the identical area procedure with collision against everything
+    # already placed (including earlier dumpers).
     areas = jnp.asarray(cfg.dumper_areas, jnp.float32)
-    perm = jax.random.permutation(keys[1], areas.shape[0])
-    area_keys = jax.random.split(keys[2], areas.shape[0] + 1)
     dumper_radius = jnp.float32(max(cfg.dumper_min_radius, 2.5))
+    n_dumpers = scene_cfg.n_dumpers
 
-    def try_area(i):
-        xy, ok = _find_valid_position(
-            area_keys[i], areas[perm[i]], jnp.full(2, cfg.dumper_range), dumper_radius,
+    def place_dumper(carry, dk):
+        placed_xy, placed_r, s = carry
+        kp, ka, ky = jax.random.split(dk, 3)
+        perm = jax.random.permutation(kp, areas.shape[0])
+        area_keys = jax.random.split(ka, areas.shape[0] + 1)
+
+        def try_area(i):
+            return _find_valid_position(
+                area_keys[i], areas[perm[i]], jnp.full(2, cfg.dumper_range),
+                dumper_radius, placed_xy, placed_r, cfg,
+                jnp.float32(cfg.fence_margin),
+            )
+
+        area_xy, area_ok = jax.vmap(try_area)(jnp.arange(areas.shape[0]))
+        any_area = jnp.any(area_ok)
+        first_area = jnp.argmax(area_ok)
+        fb_xy, fb_ok = _find_valid_position(
+            area_keys[-1], areas[0], jnp.full(2, 3.0), dumper_radius,
             placed_xy, placed_r, cfg, jnp.float32(cfg.fence_margin),
         )
-        return xy, ok
+        xy = jnp.where(any_area, area_xy[first_area], fb_xy)
+        ok = jnp.where(any_area, True, fb_ok)
+        yaw = jax.random.uniform(ky, (), minval=-180.0, maxval=180.0)
+        placed_xy = placed_xy.at[s].set(xy)
+        placed_r = placed_r.at[s].set(dumper_radius)
+        return (placed_xy, placed_r, s + 1), (xy, yaw, ok)
 
-    area_xy, area_ok = jax.vmap(try_area)(jnp.arange(areas.shape[0]))
-    any_area = jnp.any(area_ok)
-    first_area = jnp.argmax(area_ok)
-    fb_xy, fb_ok = _find_valid_position(
-        area_keys[-1], areas[0], jnp.full(2, 3.0), dumper_radius,
-        placed_xy, placed_r, cfg, jnp.float32(cfg.fence_margin),
-    )
-    dumper_xy = jnp.where(any_area, area_xy[first_area], fb_xy)
-    dumper_ok = jnp.where(any_area, True, fb_ok)
-    dumper_yaw = jax.random.uniform(keys[3], (), minval=-180.0, maxval=180.0)
-    placed_xy = placed_xy.at[slot].set(dumper_xy)
-    placed_r = placed_r.at[slot].set(dumper_radius)
-    dumper_slot = slot
-    slot += 1
+    if n_dumpers > 0:
+        d_keys = jax.random.split(keys[1], n_dumpers)
+        (placed_xy, placed_r, slot_d), (dumper_xy, dumper_yaw, dumper_ok_v) = (
+            jax.lax.scan(place_dumper, (placed_xy, placed_r, jnp.int32(slot)),
+                         d_keys))
+        slot += n_dumpers
+        dumper_ok = jnp.all(dumper_ok_v)
+    else:
+        dumper_xy = jnp.zeros((0, 2)); dumper_yaw = jnp.zeros((0,))
+        dumper_ok = jnp.asarray(True)
     oks.append(dumper_ok)
 
     # ----- humans (1158-1200) then cones (1202-1222), sequentially -----
@@ -184,9 +202,10 @@ def randomize_scene(
     positions = default.positions
     yaw = default.yaw_deg
 
-    d0, _ = roster.dumper_slice
-    positions = positions.at[d0, :2].set(dumper_xy)
-    yaw = yaw.at[d0].set(dumper_yaw)
+    d0, d1 = roster.dumper_slice
+    if n_dumpers > 0:
+        positions = positions.at[d0:d1, :2].set(dumper_xy)
+        yaw = yaw.at[d0:d1].set(dumper_yaw)
     h0, h1 = roster.human_slice
     if n_humans > 0:
         positions = positions.at[h0:h1, :2].set(human_xy)

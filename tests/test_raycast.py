@@ -190,3 +190,49 @@ def test_occlusion_ts_excludes_own_instance():
     assert float(t_excl[0]) > 1.0  # not occluded by itself
     t_incl = rc.occlusion_ts(w, roster, cam, seg, jnp.asarray([-5], jnp.int32))
     assert float(t_incl[0]) <= 1.01  # the cone surface itself
+
+
+def test_transform_aware_sweep_matches_generic():
+    """The transform-aware fast sweep (static inv/yaw/gen categories) must
+    agree with the generic SoA sweep on randomized articulated scenes —
+    same nearest instance everywhere, same depth to float tolerance."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from constructionsceneposeestimation_tpu.config import (
+        Config, PipelineConfig, SceneConfig, RandomizationConfig,
+    )
+    from constructionsceneposeestimation_tpu.core import camera as cam_mod
+    from constructionsceneposeestimation_tpu.render import raycast
+    from constructionsceneposeestimation_tpu.sample import placement
+    from constructionsceneposeestimation_tpu.scene import world as world_mod
+
+    cfg = Config(scene=SceneConfig(n_cones=3, n_trees=2, n_fence_panels=6))
+    roster = world_mod.make_roster(cfg.scene)
+    fast = raycast.make_raycaster(roster, transform_aware=True)
+    slow = raycast.make_raycaster(roster, transform_aware=False)
+    intr = cam_mod.intrinsics_from_apertures(12.0, 25.0, 96, 96)
+
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        pose, _ = placement.randomize_scene(
+            key, roster, cfg.scene, RandomizationConfig(),
+            articulate_crane=True, articulate_humans=True)
+        world = world_mod.build_world(roster, pose)
+        cam = jnp.asarray([14.0 - seed, -9.0, 2.5])
+        tgt = jnp.asarray([0.0, 0.0, 1.0])
+        M = cam_mod.look_at_matrix(cam, tgt)
+        _, dirs = cam_mod.pixel_rays(intr, cam, M)
+        rd = dirs.reshape(-1, 3)
+        hf = fast.fast(world, cam, rd)
+        hs = slow.fast(world, cam, rd)
+        inst_f = np.asarray(hf["inst"])
+        inst_s = np.asarray(hs["inst"])
+        agree = (inst_f == inst_s).mean()
+        # Silhouette ties may flip a handful of rays between categories.
+        assert agree > 0.999, f"seed {seed}: inst agreement {agree}"
+        both = inst_f == inst_s
+        tf = np.asarray(hf["t"])[both]
+        ts = np.asarray(hs["t"])[both]
+        finite = np.isfinite(tf) & np.isfinite(ts)
+        np.testing.assert_allclose(tf[finite], ts[finite], rtol=1e-4, atol=1e-3)
