@@ -51,23 +51,37 @@ def cmd_generate(args) -> None:
         packed.save_manifest(args.out, pipe.roster, cfg)
     t0 = time.time()
     done = 0
+
+    def flush(batch, chunk):
+        if writer is not None:
+            writer.write_batch(batch, pipe.roster)
+        else:
+            import os
+            packed.save_shard(
+                os.path.join(args.out, f"shard_{chunk[0]:06d}.npz"), batch,
+                pipe.roster)
+            resume.record_completed(args.out, [int(f) for f in chunk])
+
+    # Double buffering: jax dispatch is async, so enqueueing chunk i+1 BEFORE
+    # forcing chunk i's host transfer+writes overlaps device rendering with
+    # host I/O (the reference renders and writes strictly serially).
+    inflight = None
     for ci, chunk in enumerate(chunks):
         # Static batch shape: pad short chunks with repeats of the last id
         # (same id -> same scene group; rewritten files are bit-identical
         # thanks to per-frame determinism).
         ids = (chunk + [chunk[-1]] * (args.batch - len(chunk)))[: args.batch]
         batch = gen(seed, jnp.asarray(ids))
-        if writer is not None:
-            writer.write_batch(batch, pipe.roster)
-        else:
-            import os
-            packed.save_shard(
-                os.path.join(args.out, f"shard_{ids[0]:06d}.npz"), batch, pipe.roster)
-            resume.record_completed(args.out, [int(f) for f in chunk])
-        done += len(chunk)
-        if args.verbose or ci % 10 == 0:
-            fps = done / max(time.time() - t0, 1e-9)
-            print(f"  {done}/{n_pending} frames ({fps:.1f} fps incl. writes)")
+        if inflight is not None:
+            flush(*inflight)
+            done += len(inflight[1])
+            if args.verbose or ci % 10 == 0:
+                fps = done / max(time.time() - t0, 1e-9)
+                print(f"  {done}/{n_pending} frames ({fps:.1f} fps incl. writes)")
+        inflight = (batch, chunk)
+    if inflight is not None:
+        flush(*inflight)
+        done += len(inflight[1])
     if writer is not None:
         print(writer.finish())
     else:
@@ -155,6 +169,13 @@ def cmd_train_eval(args) -> None:
           f"(n={int(floor['n_keypoints'])})")
     print(f"model PCK@0.5:        {float(pck['pck']):.3f}  "
           f"mean matched err {float(pck['mean_px_error_matched']):.2f} px")
+    # Instance-resolved decode (peaks routed to owners via bbox2d): the floor
+    # that matters for multi-instance PnP, stricter than nearest-peak PCK.
+    afloor = eval_pipeline.evaluate_decode_associated(batch, pipe.roster, stride)
+    apck = eval_pipeline.evaluate_decode_associated(pred_batch, pipe.roster, stride)
+    print(f"assoc decode floor:   {float(afloor['pck']):.3f}  "
+          f"model assoc PCK@0.5: {float(apck['pck']):.3f} "
+          f"(recall {float(apck['recall']):.3f})")
     # Dumper-channel diagnostics: what the model actually scores its corners.
     sl = pose_net.class_channel_slices()["dumper"]
     d_scores = jnp.max(hm_pred[:, sl[0]:sl[1]], axis=(-1, -2))
