@@ -32,8 +32,12 @@ def cmd_generate(args) -> None:
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
     want_hms = args.format == "packed" and args.heatmaps
-    gen = jax.jit(pipe.make_generate_fn(ladder=args.ladder,
-                                        include_heatmaps=want_hms))
+    if getattr(args, "sequence_len", 0):
+        gen = jax.jit(pipe.make_sequence_fn(args.sequence_len,
+                                            include_heatmaps=want_hms))
+    else:
+        gen = jax.jit(pipe.make_generate_fn(ladder=args.ladder,
+                                            include_heatmaps=want_hms))
     seed = jax.random.PRNGKey(args.seed)
 
     # Pending ids batched into CONTIGUOUS runs: the pipeline's scene-cadence
@@ -183,11 +187,15 @@ def cmd_train_eval(args) -> None:
           f"max {float(d_scores.max()):.3f} "
           f">=0.3: {float((d_scores >= 0.3).mean()):.2f} "
           f">=0.15: {float((d_scores >= 0.15).mean()):.2f}")
+    # Ground-prior solve (README headline path): upright-on-ground x/y/yaw
+    # with pi-mirror refinement — full 6-DoF PnP at 15-30 m is
+    # rotation-ambiguous under weak perspective (ops/pnp.solve_ground_pose).
     add_gt = eval_pipeline.evaluate_equipment_6dof(
-        batch, pipe.roster, pipe.intr, "dumper", stride, use_gt_keypoints=True)
+        batch, pipe.roster, pipe.intr, "dumper", stride, use_gt_keypoints=True,
+        ground_prior=True)
     add = eval_pipeline.evaluate_equipment_6dof(
         batch, pipe.roster, pipe.intr, "dumper", stride, heatmaps=hm_pred,
-        score_threshold=args.pnp_threshold)
+        score_threshold=args.pnp_threshold, ground_prior=True)
     print(f"dumper ADD (GT kpts):    mean {float(add_gt['add_mean']):.3f} m, "
           f"ADD-0.1d {float(add_gt['add_0_1d']):.3f} "
           f"(accepted {int(add_gt['n_accepted'])}/{int(add_gt['n_valid'])})")
@@ -235,6 +243,9 @@ def main() -> None:
                    help="reference: exact drop-in text/PNG tree; packed: npz shards")
     g.add_argument("--heatmaps", action="store_true",
                    help="include f16 heatmap targets in packed shards")
+    g.add_argument("--sequence-len", type=int, default=0,
+                   help="N>0: temporally-coherent N-frame clips (crane/worker "
+                        "animation + camera flight) instead of i.i.d. frames")
     g.add_argument("--verbose", action="store_true")
     g.set_defaults(fn=cmd_generate)
 

@@ -190,6 +190,7 @@ def solve_ground_pose(
     iters: int = 12,
     damping: float = 1e-5,
     min_points: int = 3,
+    huber: float = 0.02,
 ) -> PnPResult:
     """Pose with the construction-site ground prior: the object stands
     upright on the ground plane, so only (x, y, yaw) are free.
@@ -216,7 +217,7 @@ def solve_ground_pose(
     s = jnp.clip(s, 0.5, 500.0)
     xy0 = (cam_pos + s * d_w)[:2]
 
-    def residuals(params):
+    def residuals(params, w=None):
         x, y, yaw = params[0], params[1], params[2]
         c, si = jnp.cos(yaw), jnp.sin(yaw)
         Rz = jnp.array([[c, -si, 0.0], [si, c, 0.0], [0.0, 0.0, 1.0]])
@@ -224,7 +225,16 @@ def solve_ground_pose(
         p_cam = (p_w - cam_pos) @ R_wp  # R_wp^T applied row-wise
         z = jnp.where(jnp.abs(p_cam[:, 2]) < 1e-6, 1e-6, p_cam[:, 2])
         proj = p_cam[:, :2] / z[:, None]
-        return ((proj - points_2d) * w_safe[:, None]).reshape(-1), p_cam
+        ww = w_safe if w is None else w
+        return ((proj - points_2d) * ww[:, None]).reshape(-1), p_cam
+
+    def irls_weights(params):
+        """Huber reweighting: a confidently-detected but WRONG keypoint (a
+        corner confused with its neighbor) otherwise twists the 3-DoF fit by
+        tens of degrees. ``huber`` is in normalized coords (~2.5 px)."""
+        r, _ = residuals(params, jnp.ones_like(w_safe))
+        pn = jnp.linalg.norm(r.reshape(-1, 2), axis=-1)
+        return w_safe * jnp.minimum(1.0, huber / jnp.maximum(pn, 1e-9))
 
     # --- yaw grid, pick the best start ---
     yaws = jnp.arange(yaw_candidates) * (2.0 * jnp.pi / yaw_candidates)
@@ -236,8 +246,9 @@ def solve_ground_pose(
     best_yaw = yaws[jnp.argmin(jax.vmap(score)(yaws))]
 
     def gn(params, _):
-        J = jax.jacfwd(lambda p: residuals(p)[0])(params)  # (2N, 3)
-        r, _ = residuals(params)
+        w = irls_weights(params)  # IRLS: weights fixed within the step
+        J = jax.jacfwd(lambda p: residuals(p, w)[0])(params)  # (2N, 3)
+        r, _ = residuals(params, w)
         H = J.T @ J + damping * jnp.eye(3)
         delta = -jnp.linalg.solve(H, J.T @ r)
         return params + delta, None
@@ -246,11 +257,12 @@ def solve_ground_pose(
     # bed) put the coarse yaw grid within noise of the pi-mirrored basin, and
     # Gauss-Newton cannot cross between basins. Refine BOTH hypotheses and
     # keep the lower-residual one — the small asymmetric features (wheel
-    # hubs, cab corners) decide.
+    # hubs, cab corners) decide. Scoring uses the ROBUST weights so an
+    # outlier cannot veto the true basin.
     def refine(yaw0):
         p0 = jnp.stack([xy0[0], xy0[1], yaw0])
         params, _ = jax.lax.scan(gn, p0, None, length=iters)
-        r, p_cam = residuals(params)
+        r, p_cam = residuals(params, irls_weights(params))
         return params, jnp.sum(r * r), p_cam
 
     (params2, sq2, pcam2) = jax.vmap(refine)(
