@@ -219,6 +219,66 @@ def cmd_train_eval(args) -> None:
               f"(accepted {int(cr['n_accepted'])}/{int(cr['n_valid'])})")
 
 
+def cmd_train_crop(args) -> None:
+    """Second-stage (detect-then-crop) keypoint training + 6DoF eval for one
+    equipment class — the top-down pose path (ops/crop.py,
+    train/crop_loop.py). Stage 1's single-shot precision is object-size
+    limited at DR range; the crop stage regresses keypoints at ROI scale."""
+    from .config import Config, PipelineConfig, TrainConfig
+    from .eval import pipeline as eval_pipeline
+    from .parallel import pipeline as pipeline_mod
+    from .train import crop_loop
+
+    cfg = Config(
+        pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
+        train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1),
+                          loss=args.loss),
+    )
+    model = crop_loop.make_crop_model(args.cls, lite=args.lite)
+    pipe = pipeline_mod.Pipeline(
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+    state = crop_loop.create_crop_train_state(
+        cfg, model, jax.random.PRNGKey(args.seed), args.crop)
+    mgr = None
+    if args.ckpt_dir:
+        from .train import checkpoint
+        mgr = checkpoint.CheckpointManager(args.ckpt_dir, save_every=0)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            print(f"restored checkpoint at step {int(state.step)}")
+    done = int(state.step)
+    if done < args.steps:
+        inner = max(1, min(args.inner, args.steps))
+        run = jax.jit(crop_loop.make_scanned_crop_train_fn(
+            cfg, model, pipe, inner, args.cls, args.crop), donate_argnums=(0,))
+        seed = jax.random.PRNGKey(args.seed + 1)
+        t0 = time.time()
+        t0_done = done
+        while done < args.steps:
+            state, metrics = run(state, seed, jnp.int32(done * args.batch))
+            done += inner
+            print(f"step {done}: loss={float(metrics['loss']):.5f} "
+                  f"vis={float(metrics['n_visible']):.0f}/{args.batch} "
+                  f"({(done - t0_done) * args.batch / (time.time() - t0):.1f} img/s avg)")
+        if mgr is not None:
+            mgr.maybe_save(state, force=True)
+            print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
+    if mgr is not None:
+        mgr.close()
+
+    gen = jax.jit(pipe.make_generate_fn(ladder=args.eval_ladder))
+    eval_seed = jax.random.PRNGKey(args.seed + 1000)
+    batch = gen(eval_seed, jnp.arange(args.eval_frames))
+    out = eval_pipeline.evaluate_crop_6dof(
+        batch, pipe.roster, pipe.intr, model, state.params, args.cls,
+        args.crop, score_threshold=args.pnp_threshold, loss=args.loss)
+    print(f"{args.cls} crop-stage 6DoF: ADD mean {float(out['add_mean']):.3f} m, "
+          f"ADD-0.1d {float(out['add_0_1d']):.3f} "
+          f"(accepted {int(out['n_accepted'])}/{int(out['n_valid'])}, "
+          f"detectable {int(out['n_detectable'])}/{args.eval_frames}, "
+          f"rmse {float(out['rmse']):.4f})")
+
+
 def cmd_bench(args) -> None:
     import bench  # repo-root bench.py when run from checkout
     bench.main()
@@ -278,6 +338,24 @@ def main() -> None:
     te.add_argument("--eval-ladder", action="store_true",
                     help="evaluate on the close-range reference viewpoint ladder")
     te.set_defaults(fn=cmd_train_eval)
+
+    tc = sub.add_parser("train-crop",
+                        help="two-stage (detect-then-crop) equipment training")
+    tc.add_argument("--steps", type=int, default=8000)
+    tc.add_argument("--batch", type=int, default=32)
+    tc.add_argument("--size", type=int, default=512,
+                    help="full-image render size the ROIs are cut from")
+    tc.add_argument("--crop", type=int, default=128)
+    tc.add_argument("--cls", default="dumper")
+    tc.add_argument("--seed", type=int, default=0)
+    tc.add_argument("--lite", action="store_true")
+    tc.add_argument("--loss", choices=["mse", "focal"], default="focal")
+    tc.add_argument("--inner", type=int, default=50)
+    tc.add_argument("--eval-frames", type=int, default=64)
+    tc.add_argument("--pnp-threshold", type=float, default=0.15)
+    tc.add_argument("--ckpt-dir", default=None)
+    tc.add_argument("--eval-ladder", action="store_true")
+    tc.set_defaults(fn=cmd_train_crop)
 
     b = sub.add_parser("bench", help="headline benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -276,6 +276,72 @@ def evaluate_equipment_6dof_multi(
     }
 
 
+def evaluate_crop_6dof(
+    batch, roster, intr: cam_mod.Intrinsics, model, params,
+    class_name: str = "dumper", crop_size: int = 128,
+    score_threshold: float = 0.3, rmse_gate_px: float = 8.0,
+    loss: str = "focal", min_box_px: float = 6.0,
+) -> Dict[str, Array]:
+    """Two-stage (detect-then-crop) equipment 6DoF: ROI from the bbox2d label
+    (detector stand-in), second-stage net on the crop, DARK decode in crop
+    coordinates mapped back to image pixels, ground-prior solve, ADD.
+
+    ``min_box_px`` drops frames whose box is smaller than a detector would
+    report (sliver visibility through occluders)."""
+    from ..models import pose_net
+    from ..ops import crop as crop_ops
+    from ..ops import preprocess
+
+    o = list(roster.inst_class_names).index(class_name)
+    tpl = assets.all_templates()[class_name]
+    K = tpl.num_keypoints
+    model_pts = jnp.asarray(tpl.keypoints)
+    stride = getattr(model, "output_stride", 4)
+
+    bbox = batch.bbox2d[:, o].astype(jnp.float32)
+    cu, cv, half = crop_ops.square_roi(bbox)
+
+    def one(rgb, cu1, cv1, h1):
+        img = crop_ops.crop_resize(rgb.astype(jnp.float32) / 255.0,
+                                   cu1, cv1, h1, crop_size)
+        return preprocess.normalize(img)
+
+    imgs = jax.vmap(one)(batch.rgb, cu, cv, half)
+    hm = pose_net.output_to_heatmaps(
+        pose_net.forward(model, params, imgs), loss)
+    uv_c, sc = decode_ops.dark_decode(hm)
+    uv = crop_ops.crop_to_uv(uv_c * stride, cu[:, None], cv[:, None],
+                             half[:, None], crop_size)
+    w = jnp.where(sc >= score_threshold, sc, 0.0)
+
+    x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
+    pose7 = batch.camera_pose7
+    R_wp = rotation.matrix_from_quat_xyzw(pose7[..., 3:])
+    B = x.shape[0]
+    res = jax.vmap(pnp_ops.solve_ground_pose)(
+        jnp.broadcast_to(model_pts, (B,) + model_pts.shape), x, w,
+        R_wp, pose7[..., :3])
+
+    R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
+    add = metrics.add_metric(res.R, res.t, R_gt, t_gt, model_pts)
+    dia = metrics.model_diameter(model_pts)
+    box_px = jnp.maximum(bbox[:, 2] - bbox[:, 0], bbox[:, 3] - bbox[:, 1])
+    detectable = batch.inst_visible[:, o] & (box_px >= min_box_px)
+    valid = res.valid & detectable
+    px2n = 1.0 / float(intr.fx)
+    accepted = valid & (res.rmse <= rmse_gate_px * px2n)
+    return {
+        "add_mean": jnp.sum(jnp.where(accepted, add, 0.0))
+        / jnp.maximum(jnp.sum(accepted), 1),
+        "add_0_1d": metrics.add_accuracy(add, dia, accepted),
+        "n_detectable": jnp.sum(detectable),
+        "n_valid": jnp.sum(valid),
+        "n_accepted": jnp.sum(accepted),
+        "rmse": jnp.sum(jnp.where(valid, res.rmse, 0.0))
+        / jnp.maximum(jnp.sum(valid), 1),
+    }
+
+
 def evaluate_crane_6dof(
     batch, roster, intr: cam_mod.Intrinsics, stride: float = 4.0,
     use_gt_keypoints: bool = False, heatmaps: Optional[Array] = None,

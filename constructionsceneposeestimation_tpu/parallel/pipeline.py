@@ -76,7 +76,7 @@ class Pipeline:
 
     # ---------------- single frame ----------------
     def _one_frame(self, seed: Array, frame_id: Array, pose=None,
-                   ladder_cam=None, ladder_tgt=None):
+                   ladder_cam=None, ladder_tgt=None, cam_override=None):
         cfg = self.cfg
         if pose is None:
             # Scene randomization on the reference cadence: same scene for
@@ -90,7 +90,9 @@ class Pipeline:
 
         k_frame = prng.frame_key(seed, frame_id)
         k_cam, k_light = jax.random.split(k_frame)
-        if ladder_cam is not None:
+        if cam_override is not None:
+            cam_pos, target = cam_override
+        elif ladder_cam is not None:
             idx = frame_id % ladder_cam.shape[0]
             cam_pos, target = ladder_cam[idx], ladder_tgt[idx]
         else:
@@ -197,6 +199,66 @@ class Pipeline:
                 kpt_visible=ann.kpt_visible,
                 kpt_in_image=ann.kpt_in_image,
                 heatmaps=hms,
+                pointcloud_count=ann.pointcloud_count,
+            )
+
+        return gen
+
+    def make_sequence_fn(self, seq_len: int = 30, include_heatmaps: bool = True):
+        """Returns jitted ``generate(seed_key, frame_ids (B,)) -> FrameBatch``
+        producing temporally-coherent clips: frame ``fid`` belongs to sequence
+        ``fid // seq_len`` at time fraction ``(fid % seq_len) / (seq_len-1)``.
+
+        Per sequence: endpoint scenes from the reference placement procedure,
+        crane/worker DoF + a camera flight interpolated between them
+        (sample/sequence.py). Same FrameBatch contract as make_generate_fn, so
+        every writer/eval path consumes clips unchanged. REQUIRES contiguous
+        frame_ids like the cadence-dedup path."""
+        from ..sample import sequence as seq_mod
+
+        cfg = self.cfg
+
+        def gen(seed: Array, frame_ids: Array) -> FrameBatch:
+            B = frame_ids.shape[0]
+            n_groups = B // seq_len + 2
+            g0 = frame_ids[0] // seq_len
+
+            def endpoints_for(g):
+                k = jax.random.fold_in(jax.random.fold_in(seed, g), 7771)
+                return seq_mod.sample_sequence_endpoints(
+                    k, self.roster, cfg.scene, cfg.randomization)
+
+            pas, pbs = jax.vmap(endpoints_for)(g0 + jnp.arange(n_groups))
+
+            def one(fid):
+                g = fid // seq_len
+                gidx = jnp.clip(g - g0, 0, n_groups - 1)
+                pa = jax.tree_util.tree_map(lambda x: x[gidx], pas)
+                pb = jax.tree_util.tree_map(lambda x: x[gidx], pbs)
+                t = (fid % seq_len).astype(jnp.float32) / max(seq_len - 1, 1)
+                pose = seq_mod.interpolate_pose(pa, pb, t, self.roster)
+                k_cam = jax.random.fold_in(jax.random.fold_in(seed, g), 7772)
+                cam = seq_mod.sequence_camera(k_cam, t, cfg.camera)
+                return self._one_frame(seed, fid, pose, cam_override=cam)
+
+            ch = min(self.vmap_chunk, B)
+            if B % ch == 0 and B > ch:
+                chunks = frame_ids.reshape(B // ch, ch)
+                ann, hms = jax.lax.map(lambda f: jax.vmap(one)(f), chunks)
+                ann, hms = jax.tree_util.tree_map(
+                    lambda x: x.reshape((B,) + x.shape[2:]), (ann, hms))
+            else:
+                ann, hms = jax.vmap(one)(frame_ids)
+            if not include_heatmaps:
+                hms = jnp.zeros((B, 0, self.hm_h, self.hm_w), jnp.float32)
+            return FrameBatch(
+                frame_id=frame_ids, rgb=ann.rgb, depth=ann.depth,
+                instance=ann.instance, camera_pose7=ann.camera_pose7,
+                inst_visible=ann.inst_visible,
+                inst_pixel_count=ann.inst_pixel_count, bbox2d=ann.bbox2d,
+                center=ann.center, size=ann.size, euler_deg=ann.euler_deg,
+                kpt_uv=ann.kpt_uv, kpt_visible=ann.kpt_visible,
+                kpt_in_image=ann.kpt_in_image, heatmaps=hms,
                 pointcloud_count=ann.pointcloud_count,
             )
 

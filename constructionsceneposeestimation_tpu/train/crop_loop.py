@@ -1,0 +1,130 @@
+"""Second-stage (detect-then-crop) keypoint training — the top-down pose
+path for equipment 6DoF.
+
+Stage 1 (train/loop.py) regresses all scene channels at image scale; at the
+DR camera ranges the dumper covers ~10-25 px and keypoint precision is
+object-size-limited. This stage trains a dedicated net on fixed-size ROIs
+around one equipment class: boxes come from the renderer's ``bbox2d`` labels
+jittered with detector noise (ops/crop.jitter_roi), keypoints live in crop
+coordinates where the object fills the frame. Same fully-on-device design as
+stage 1: datagen -> crop -> augment -> heatmap targets -> grads is ONE jitted
+program; there is no input pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import pose_net
+from ..ops import crop as crop_ops
+from ..ops import heatmap as heatmap_ops
+from ..ops import preprocess
+from ..parallel import pipeline as pipeline_mod
+from ..scene import assets
+from . import loop as base_loop, losses
+
+Array = jax.Array
+
+
+def make_crop_model(class_name: str = "dumper", lite: bool = False):
+    K = assets.all_templates()[class_name].num_keypoints
+    return pose_net.make_model(num_channels=K, lite=lite)
+
+
+def create_crop_train_state(cfg: Config, model, key: Array,
+                            crop_size: int = 128) -> base_loop.TrainState:
+    params = pose_net.init_params(model, key, crop_size, crop_size)
+    tx = base_loop.make_optimizer(cfg)
+    return base_loop.TrainState(params=params, opt_state=tx.init(params),
+                                step=jnp.zeros((), jnp.int32))
+
+
+def crop_batch(seed: Array, batch, roster, class_name: str, crop_size: int,
+               stride: int, sigma: float, jitter: bool = True,
+               augment: bool = True):
+    """FrameBatch -> (images (B,c,c,3), targets (B,K,h,h), sample_w (B,)).
+
+    One ROI per frame around the class instance (single-instance classes; the
+    multi-instance generalization crops per (frame, instance))."""
+    o = list(roster.inst_class_names).index(class_name)
+    K = assets.all_templates()[class_name].num_keypoints
+    hm = crop_size // stride
+
+    def one(key, rgb, bbox, kuv, kvis):
+        k_roi, k_aug = jax.random.split(key)
+        cu, cv, half = crop_ops.square_roi(bbox)
+        if jitter:
+            cu, cv, half = crop_ops.jitter_roi(k_roi, cu, cv, half)
+        img = crop_ops.crop_resize(rgb.astype(jnp.float32) / 255.0,
+                                   cu, cv, half, crop_size)
+        if augment:
+            img = preprocess.photometric_augment(k_aug, img)
+        img = preprocess.normalize(img)
+        uvc = crop_ops.uv_to_crop(kuv, cu, cv, half, crop_size)
+        in_crop = ((uvc[..., 0] >= 0) & (uvc[..., 0] < crop_size)
+                   & (uvc[..., 1] >= 0) & (uvc[..., 1] < crop_size))
+        tgt = heatmap_ops.render_heatmaps(
+            uvc, jnp.arange(K, dtype=jnp.int32), kvis & in_crop,
+            K, hm, hm, sigma, float(stride))
+        return img, tgt
+
+    B = batch.rgb.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(seed, i))(batch.frame_id)
+    imgs, tgts = jax.vmap(one)(
+        keys, batch.rgb, batch.bbox2d[:, o].astype(jnp.float32),
+        batch.kpt_uv[:, o, :K], batch.kpt_visible[:, o, :K])
+    # Frames where the instance is invisible contribute nothing (their box is
+    # -1 -> min_half ROI at the corner; weight them out of the loss).
+    sample_w = batch.inst_visible[:, o].astype(jnp.float32)
+    return imgs, tgts, sample_w
+
+
+def make_crop_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline,
+                         class_name: str = "dumper", crop_size: int = 128,
+                         sigma: float = 1.5):
+    tx = base_loop.make_optimizer(cfg)
+    gen = pipe.make_generate_fn(ladder=False, include_heatmaps=False)
+    stride = getattr(model, "output_stride", 4)
+
+    def loss_fn(params, images, targets, sample_w):
+        pred = pose_net.forward(model, params, images)
+        if cfg.train.loss == "focal":
+            per = jax.vmap(losses.focal_heatmap_loss)(pred, targets)
+        else:
+            per = jax.vmap(lambda p, t: losses.heatmap_mse(p, t))(pred, targets)
+        return jnp.sum(per * sample_w) / jnp.maximum(jnp.sum(sample_w), 1.0)
+
+    def step(state: base_loop.TrainState, seed: Array, frame_ids: Array):
+        batch = gen(seed, frame_ids)
+        images, targets, sample_w = crop_batch(
+            seed, batch, pipe.roster, class_name, crop_size, stride, sigma)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, images, targets, sample_w)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "step": state.step,
+                   "n_visible": jnp.sum(sample_w)}
+        return base_loop.TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_scanned_crop_train_fn(cfg: Config, model, pipe, inner_steps: int = 10,
+                               class_name: str = "dumper",
+                               crop_size: int = 128, sigma: float = 1.5):
+    step = make_crop_train_step(cfg, model, pipe, class_name, crop_size, sigma)
+    B = cfg.train.batch_size
+
+    def run(state, seed: Array, start_frame: Array):
+        def body(carry, i):
+            st, metrics = step(carry, seed, start_frame + i * B + jnp.arange(B))
+            return st, metrics
+        state, metrics = jax.lax.scan(body, state, jnp.arange(inner_steps))
+        return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+
+    return run

@@ -1,0 +1,102 @@
+"""Detect-then-crop stage: ROI geometry exactness, crop training step, and
+the two-stage 6DoF evaluator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from constructionsceneposeestimation_tpu.config import (
+    Config, PipelineConfig, SceneConfig, TrainConfig,
+)
+from constructionsceneposeestimation_tpu.ops import crop as crop_ops
+from constructionsceneposeestimation_tpu.parallel import pipeline as pipeline_mod
+from constructionsceneposeestimation_tpu.train import crop_loop
+
+
+def test_crop_resize_matches_direct_slice():
+    """Integer-aligned ROI at scale 1: crop_resize must equal numpy slicing
+    (pins the scale_and_translate coordinate convention)."""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    # ROI [16, 48) x [8, 40): cu=32, cv=24, half=16, out=32 -> scale 1.
+    out = crop_ops.crop_resize(jnp.asarray(img), jnp.float32(32.0),
+                               jnp.float32(24.0), jnp.float32(16.0), 32)
+    np.testing.assert_allclose(np.asarray(out), img[8:40, 16:48], atol=1e-5)
+
+
+def test_uv_transform_roundtrip_and_consistency():
+    cu, cv, half = jnp.float32(100.0), jnp.float32(80.0), jnp.float32(25.0)
+    uv = jnp.asarray([[100.0, 80.0], [75.0, 55.0], [125.0, 105.0]])
+    uv_c = crop_ops.uv_to_crop(uv, cu, cv, half, 128)
+    # Center maps to crop center, corners to crop corners.
+    np.testing.assert_allclose(np.asarray(uv_c[0]), [64.0, 64.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(uv_c[1]), [0.0, 0.0], atol=1e-5)
+    back = crop_ops.crop_to_uv(uv_c, cu, cv, half, 128)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(uv), atol=1e-4)
+
+
+def test_square_roi_margin_and_floor():
+    cu, cv, half = crop_ops.square_roi(jnp.asarray([10.0, 20.0, 50.0, 40.0]))
+    assert float(cu) == 30.0 and float(cv) == 30.0
+    np.testing.assert_allclose(float(half), 20.0 * 1.25)
+    _, _, h2 = crop_ops.square_roi(jnp.asarray([-1.0, -1.0, -1.0, -1.0]))
+    assert float(h2) == 8.0  # degenerate box floor
+
+
+def _tiny_setup():
+    cfg = Config(
+        scene=SceneConfig(n_cones=1, n_trees=1, n_fence_panels=2),
+        pipeline=PipelineConfig(render_width=96, render_height=96),
+        train=TrainConfig(batch_size=4, steps=4, learning_rate=1e-3),
+    )
+    model = crop_loop.make_crop_model("dumper", lite=True)
+    pipe = pipeline_mod.Pipeline(cfg, vmap_chunk=4)
+    state = crop_loop.create_crop_train_state(cfg, model, jax.random.PRNGKey(0), 64)
+    return cfg, model, pipe, state
+
+
+def test_crop_train_step_decreases_loss():
+    cfg, model, pipe, state = _tiny_setup()
+    step = jax.jit(crop_loop.make_crop_train_step(cfg, model, pipe, "dumper", 64))
+    seed = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, seed, jnp.arange(4) + 4 * i)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 4
+
+
+def test_evaluate_crop_6dof_runs_and_gt_floor():
+    """With heatmap targets AS the net output stand-in, the evaluator's
+    geometry (crop decode -> image uv -> ground solve -> ADD) must recover
+    poses near-exactly: run the evaluator with a fake forward that returns
+    the rasterized GT crop heatmaps."""
+    from constructionsceneposeestimation_tpu.eval import pipeline as ep
+    cfg, model, pipe, state = _tiny_setup()
+    gen = jax.jit(pipe.make_generate_fn(ladder=True))
+    batch = gen(jax.random.PRNGKey(2), jnp.arange(4))
+
+    class FakeModel:
+        output_stride = 4
+
+    import constructionsceneposeestimation_tpu.models.pose_net as pn
+    orig = pn.forward
+
+    def fake_forward(model_, params_, images):
+        imgs, tgts, _ = crop_loop.crop_batch(
+            jax.random.PRNGKey(0), batch, pipe.roster, "dumper", 64, 4, 1.0,
+            jitter=False, augment=False)
+        # logits whose sigmoid ~= the GT heatmap (channel-major contract)
+        p = jnp.clip(tgts, 1e-4, 1.0 - 1e-4)
+        return jnp.log(p / (1 - p))
+
+    pn.forward = fake_forward
+    try:
+        out = ep.evaluate_crop_6dof(batch, pipe.roster, pipe.intr,
+                                    FakeModel(), None, "dumper", 64)
+    finally:
+        pn.forward = orig
+    n = int(out["n_accepted"])
+    if n > 0:
+        assert float(out["add_0_1d"]) > 0.7, {k: float(v) for k, v in out.items()}
