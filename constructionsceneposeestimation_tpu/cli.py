@@ -105,7 +105,8 @@ def _run_training(args):
     cfg = Config(
         pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
         train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1),
-                          loss=args.loss),
+                          loss=args.loss,
+                          camera_mix=getattr(args, "camera_mix", 0.0)),
     )
     model = pose_net.make_model(lite=args.lite)
     pipe = pipeline_mod.Pipeline(
@@ -232,11 +233,13 @@ def cmd_train_crop(args) -> None:
     cfg = Config(
         pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
         train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1),
-                          loss=args.loss),
+                          loss=args.loss,
+                          camera_mix=getattr(args, "camera_mix", 0.0)),
     )
-    model = crop_loop.make_crop_model(args.cls, lite=args.lite)
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+    model = crop_loop.make_crop_model(args.cls, lite=args.lite,
+                                      roster=pipe.roster)
     state = crop_loop.create_crop_train_state(
         cfg, model, jax.random.PRNGKey(args.seed), args.crop)
     mgr = None
@@ -269,14 +272,100 @@ def cmd_train_crop(args) -> None:
     gen = jax.jit(pipe.make_generate_fn(ladder=args.eval_ladder))
     eval_seed = jax.random.PRNGKey(args.seed + 1000)
     batch = gen(eval_seed, jnp.arange(args.eval_frames))
-    out = eval_pipeline.evaluate_crop_6dof(
-        batch, pipe.roster, pipe.intr, model, state.params, args.cls,
-        args.crop, score_threshold=args.pnp_threshold, loss=args.loss)
-    print(f"{args.cls} crop-stage 6DoF: ADD mean {float(out['add_mean']):.3f} m, "
-          f"ADD-0.1d {float(out['add_0_1d']):.3f} "
-          f"(accepted {int(out['n_accepted'])}/{int(out['n_valid'])}, "
-          f"detectable {int(out['n_detectable'])}/{args.eval_frames}, "
-          f"rmse {float(out['rmse']):.4f})")
+    if args.cls == "crane":
+        out = eval_pipeline.evaluate_crop_crane_6dof(
+            batch, pipe.roster, pipe.intr, model, state.params, args.crop,
+            score_threshold=args.pnp_threshold, loss=args.loss)
+        parts = " ".join(
+            f"{p.replace('crane', '')}={float(out[f'add_0_1d_{p}']):.2f}"
+            for p in ("cranebase", "cranecolumn", "craneboom",
+                      "cranetelescopic"))
+        print(f"crane crop-stage 6DoF: ADD mean {float(out['add_mean']):.3f} m, "
+              f"ADD-0.1d {float(out['add_0_1d']):.3f} [{parts}] "
+              f"(accepted {int(out['n_accepted'])}/{int(out['n_valid'])}, "
+              f"detectable {int(out['n_detectable'])}/{args.eval_frames})")
+    else:
+        out = eval_pipeline.evaluate_crop_6dof(
+            batch, pipe.roster, pipe.intr, model, state.params, args.cls,
+            args.crop, score_threshold=args.pnp_threshold, loss=args.loss)
+        print(f"{args.cls} crop-stage 6DoF: ADD mean {float(out['add_mean']):.3f} m, "
+              f"ADD-0.1d {float(out['add_0_1d']):.3f} "
+              f"(accepted {int(out['n_accepted'])}/{int(out['n_valid'])}, "
+              f"detectable {int(out['n_detectable'])}/{args.eval_frames}, "
+              f"rmse {float(out['rmse']):.4f})")
+
+
+def cmd_train_detect(args) -> None:
+    """CenterNet detector training + P/R eval; with --crop-ckpt, runs the
+    FULL two-stage deployment path: detector boxes (not labels) -> crop net
+    -> ground-prior solve -> dumper ADD."""
+    from .config import Config, PipelineConfig, TrainConfig
+    from .eval import pipeline as eval_pipeline
+    from .parallel import pipeline as pipeline_mod
+    from .train import detect_loop
+
+    cfg = Config(
+        pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
+        train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1),
+                          loss="focal",
+                          camera_mix=getattr(args, "camera_mix", 0.0)),
+    )
+    pipe = pipeline_mod.Pipeline(
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+    model = detect_loop.make_detect_model(lite=args.lite)
+    from .train import loop as train_loop
+    state = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed))
+    mgr = None
+    if args.ckpt_dir:
+        from .train import checkpoint
+        mgr = checkpoint.CheckpointManager(args.ckpt_dir, save_every=0)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            print(f"restored checkpoint at step {int(state.step)}")
+    done = int(state.step)
+    if done < args.steps:
+        inner = max(1, min(args.inner, args.steps))
+        run = jax.jit(detect_loop.make_scanned_detect_train_fn(cfg, model, pipe, inner),
+                      donate_argnums=(0,))
+        seed = jax.random.PRNGKey(args.seed + 1)
+        t0 = time.time()
+        t0_done = done
+        while done < args.steps:
+            state, metrics = run(state, seed, jnp.int32(done * args.batch))
+            done += inner
+            print(f"step {done}: loss={float(metrics['loss']):.5f} "
+                  f"({(done - t0_done) * args.batch / (time.time() - t0):.1f} img/s avg)")
+        if mgr is not None:
+            mgr.maybe_save(state, force=True)
+            print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
+    if mgr is not None:
+        mgr.close()
+
+    gen = jax.jit(pipe.make_generate_fn(ladder=args.eval_ladder))
+    eval_seed = jax.random.PRNGKey(args.seed + 1000)
+    batch = gen(eval_seed, jnp.arange(args.eval_frames))
+    det = eval_pipeline.evaluate_detector(batch, pipe.roster, model, state.params)
+    per_cls = " ".join(
+        f"{c}={float(det[f'precision_{c}']):.2f}/{float(det[f'recall_{c}']):.2f}"
+        for c in ("dumper", "crane", "human", "trafficcone"))
+    print(f"detector P/R @IoU0.5: {float(det['precision']):.3f}/"
+          f"{float(det['recall']):.3f}  [{per_cls}]")
+
+    if args.crop_ckpt:
+        from .train import checkpoint, crop_loop
+        crop_model = crop_loop.make_crop_model("dumper", roster=pipe.roster)
+        crop_state = crop_loop.create_crop_train_state(
+            cfg, crop_model, jax.random.PRNGKey(0), args.crop)
+        cmgr = checkpoint.CheckpointManager(args.crop_ckpt, save_every=0)
+        crop_state = cmgr.restore(crop_state)
+        cmgr.close()
+        out = eval_pipeline.evaluate_crop_6dof(
+            batch, pipe.roster, pipe.intr, crop_model, crop_state.params,
+            "dumper", args.crop, boxes=det["dumper_boxes"])
+        print(f"FULL two-stage dumper 6DoF (detector boxes): "
+              f"ADD mean {float(out['add_mean']):.3f} m, "
+              f"ADD-0.1d {float(out['add_0_1d']):.3f} "
+              f"(accepted {int(out['n_accepted'])}/{int(out['n_valid'])})")
 
 
 def cmd_bench(args) -> None:
@@ -317,6 +406,8 @@ def main() -> None:
     t.add_argument("--lite", action="store_true")
     t.add_argument("--loss", choices=["mse", "focal"], default="focal",
                    help="heatmap loss (focal = the README headline config)")
+    t.add_argument("--camera-mix", type=float, default=0.0,
+                    help="P(close-range ladder view) per train frame")
     t.add_argument("--inner", type=int, default=10,
                    help="train steps per device dispatch (lax.scan)")
     t.add_argument("--ckpt-dir", default=None,
@@ -331,6 +422,8 @@ def main() -> None:
     te.add_argument("--lite", action="store_true")
     te.add_argument("--loss", choices=["mse", "focal"], default="focal",
                     help="heatmap loss (focal = the README headline config)")
+    te.add_argument("--camera-mix", type=float, default=0.0,
+                    help="P(close-range ladder view) per train frame")
     te.add_argument("--inner", type=int, default=50)
     te.add_argument("--eval-frames", type=int, default=16)
     te.add_argument("--pnp-threshold", type=float, default=0.15)
@@ -355,7 +448,27 @@ def main() -> None:
     tc.add_argument("--pnp-threshold", type=float, default=0.15)
     tc.add_argument("--ckpt-dir", default=None)
     tc.add_argument("--eval-ladder", action="store_true")
+    tc.add_argument("--camera-mix", type=float, default=0.0,
+                    help="P(close-range ladder view) per train frame")
     tc.set_defaults(fn=cmd_train_crop)
+
+    td = sub.add_parser("train-detect",
+                        help="CenterNet detector training + two-stage eval")
+    td.add_argument("--steps", type=int, default=8000)
+    td.add_argument("--batch", type=int, default=32)
+    td.add_argument("--size", type=int, default=512)
+    td.add_argument("--crop", type=int, default=128)
+    td.add_argument("--seed", type=int, default=0)
+    td.add_argument("--lite", action="store_true")
+    td.add_argument("--inner", type=int, default=50)
+    td.add_argument("--eval-frames", type=int, default=64)
+    td.add_argument("--ckpt-dir", default=None)
+    td.add_argument("--crop-ckpt", default=None,
+                    help="crop-stage checkpoint: run the full detector->crop"
+                         "->PnP path")
+    td.add_argument("--eval-ladder", action="store_true")
+    td.add_argument("--camera-mix", type=float, default=0.0)
+    td.set_defaults(fn=cmd_train_detect)
 
     b = sub.add_parser("bench", help="headline benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -129,6 +129,8 @@ class TrainConfig:
     warmup_steps: int = 500
     bf16: bool = True
     loss: str = "mse"  # "mse" | "focal"
+    camera_mix: float = 0.0  # P(close-range ladder view) per train frame;
+    # 0 = pure DR sampler. Mixing fixes range domain shift (ROADMAP round 2).
     channel_balance: bool = True  # de-emphasize crowded classes (20 fences
     # share channels; the dumper has one instance) by 1/sqrt(instances)
     # mesh axes: (data, model); fsdp shards params over 'data'

@@ -281,10 +281,13 @@ def evaluate_crop_6dof(
     class_name: str = "dumper", crop_size: int = 128,
     score_threshold: float = 0.3, rmse_gate_px: float = 8.0,
     loss: str = "focal", min_box_px: float = 6.0,
+    boxes: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """Two-stage (detect-then-crop) equipment 6DoF: ROI from the bbox2d label
-    (detector stand-in), second-stage net on the crop, DARK decode in crop
-    coordinates mapped back to image pixels, ground-prior solve, ADD.
+    (detector stand-in) or from ``boxes`` (B, 4) — a real detector's output
+    (ops/detect.decode_detections) — then the second-stage net on the crop,
+    DARK decode in crop coordinates mapped back to image pixels, ground-prior
+    solve, ADD.
 
     ``min_box_px`` drops frames whose box is smaller than a detector would
     report (sliver visibility through occluders)."""
@@ -298,7 +301,8 @@ def evaluate_crop_6dof(
     model_pts = jnp.asarray(tpl.keypoints)
     stride = getattr(model, "output_stride", 4)
 
-    bbox = batch.bbox2d[:, o].astype(jnp.float32)
+    bbox = (boxes.astype(jnp.float32) if boxes is not None
+            else batch.bbox2d[:, o].astype(jnp.float32))
     cu, cv, half = crop_ops.square_roi(bbox)
 
     def one(rgb, cu1, cv1, h1):
@@ -340,6 +344,157 @@ def evaluate_crop_6dof(
         "rmse": jnp.sum(jnp.where(valid, res.rmse, 0.0))
         / jnp.maximum(jnp.sum(valid), 1),
     }
+
+
+def _iou(a: Array, b: Array) -> Array:
+    """IoU of boxes a (..., 4) vs b (..., 4) [u0, v0, u1, v1]."""
+    iw = jnp.maximum(0.0, jnp.minimum(a[..., 2], b[..., 2])
+                     - jnp.maximum(a[..., 0], b[..., 0]))
+    ih = jnp.maximum(0.0, jnp.minimum(a[..., 3], b[..., 3])
+                     - jnp.maximum(a[..., 1], b[..., 1]))
+    inter = iw * ih
+    area = lambda x: jnp.maximum(0.0, x[..., 2] - x[..., 0]) * \
+        jnp.maximum(0.0, x[..., 3] - x[..., 1])
+    return inter / jnp.maximum(area(a) + area(b) - inter, 1e-9)
+
+
+def evaluate_detector(
+    batch, roster, model, params, score_threshold: float = 0.3,
+    iou_thresh: float = 0.5, max_det: int = 8,
+) -> Dict[str, Array]:
+    """Detection quality vs the renderer's pixel-tight boxes: per-class and
+    aggregate precision/recall at IoU>=``iou_thresh`` (any-match counting — a
+    peak-NMS detector on disjoint instances rarely double-matches, so this is
+    a tight proxy for matched P/R), plus best-dumper-box IoU for the crop
+    hand-off. Returns the decoded boxes too for downstream use."""
+    from ..models import pose_net
+    from ..ops import detect as detect_ops
+    from ..ops import preprocess
+    from ..train import crop_loop
+
+    imgs = jax.vmap(lambda r: preprocess.normalize(
+        r.astype(jnp.float32) / 255.0))(batch.rgb)
+    pred = pose_net.forward(model, params, imgs)  # (B, C+4, h, w)
+    stride = getattr(model, "output_stride", 4)
+    boxes, scores = jax.vmap(
+        lambda p: detect_ops.decode_detections(p, float(stride), max_det))(pred)
+
+    inst_cls = jnp.asarray(detect_ops.det_class_of_instances(roster))
+    merged, any_vis = crop_loop.crane_union_roi(batch, roster)
+    s0, s1 = roster.crane_slice
+    gt_boxes = batch.bbox2d.astype(jnp.float32)
+    gt_boxes = gt_boxes.at[:, s0:s1].set(merged[:, None, :])
+    gt_vis = batch.inst_visible
+    gt_vis = gt_vis.at[:, s0 + 1:s1].set(False)
+    gt_vis = gt_vis.at[:, s0].set(any_vis)
+
+    C = len(detect_ops.DET_CLASSES)
+    out: Dict[str, Array] = {}
+    tps, fps, fns = [], [], []
+    for ci, cname in enumerate(detect_ops.DET_CLASSES):
+        det_b = boxes[:, ci]  # (B, D, 4)
+        det_s = scores[:, ci]
+        keep = det_s >= score_threshold
+        gsel = (inst_cls == ci)[None, :] & gt_vis  # (B, O)
+        iou = _iou(det_b[:, :, None, :], gt_boxes[:, None, :, :])  # (B, D, O)
+        iou = jnp.where(gsel[:, None, :], iou, 0.0)
+        det_hit = jnp.max(iou, axis=2) >= iou_thresh  # (B, D)
+        gt_hit = jnp.max(jnp.where(keep[:, :, None], iou, 0.0),
+                         axis=1) >= iou_thresh  # (B, O)
+        tp = jnp.sum(det_hit & keep)
+        fp = jnp.sum(~det_hit & keep)
+        fn = jnp.sum(gsel) - jnp.sum(gt_hit & gsel)
+        out[f"precision_{cname}"] = tp / jnp.maximum(tp + fp, 1)
+        out[f"recall_{cname}"] = (jnp.sum(gt_hit & gsel)
+                                  / jnp.maximum(jnp.sum(gsel), 1))
+        tps.append(tp); fps.append(fp); fns.append(fn)
+    tp, fp, fn = (jnp.sum(jnp.stack(v)) for v in (tps, fps, fns))
+    out["precision"] = tp / jnp.maximum(tp + fp, 1)
+    out["recall"] = tp / jnp.maximum(tp + fn, 1)
+
+    # Best dumper detection per frame (for the crop-stage hand-off).
+    di = detect_ops.DET_CLASSES.index("dumper")
+    best = jnp.argmax(scores[:, di], axis=-1)
+    out["dumper_boxes"] = jnp.take_along_axis(
+        boxes[:, di], best[:, None, None], axis=1)[:, 0]
+    out["dumper_scores"] = jnp.take_along_axis(
+        scores[:, di], best[:, None], axis=1)[:, 0]
+    return out
+
+
+def evaluate_crop_crane_6dof(
+    batch, roster, intr: cam_mod.Intrinsics, model, params,
+    crop_size: int = 128, score_threshold: float = 0.3,
+    rmse_gate_px: float = 8.0, loss: str = "focal", min_box_px: float = 10.0,
+) -> Dict[str, Array]:
+    """Two-stage crane pose: one ROI around the 4-part union, 4*Kp crop
+    channels, decoded keypoints mapped back to image pixels, FK-constrained
+    joint solve (ops/pnp.solve_crane_pose), per-part ADD."""
+    from ..models import pose_net
+    from ..ops import crop as crop_ops
+    from ..ops import preprocess
+    from ..train import crop_loop
+
+    s0, Kp = crop_loop.crane_channels(roster)
+    part_names = roster.inst_class_names[s0:s0 + 4]
+    kpts_local = jnp.asarray(roster.inst_kpts[s0:s0 + 4, :Kp])
+    kpt_valid = jnp.asarray(roster.inst_kpt_valid[s0:s0 + 4, :Kp])
+    stride = getattr(model, "output_stride", 4)
+
+    bbox, any_vis = crop_loop.crane_union_roi(batch, roster)
+    cu, cv, half = crop_ops.square_roi(bbox)
+
+    def one(rgb, cu1, cv1, h1):
+        img = crop_ops.crop_resize(rgb.astype(jnp.float32) / 255.0,
+                                   cu1, cv1, h1, crop_size)
+        return preprocess.normalize(img)
+
+    imgs = jax.vmap(one)(batch.rgb, cu, cv, half)
+    hm = pose_net.output_to_heatmaps(pose_net.forward(model, params, imgs), loss)
+    uv_c, sc = decode_ops.dark_decode(hm)  # (B, 4*Kp, 2)
+    uv = crop_ops.crop_to_uv(uv_c * stride, cu[:, None], cv[:, None],
+                             half[:, None], crop_size)
+    B = uv.shape[0]
+    uv = uv.reshape(B, 4, Kp, 2)
+    sc = sc.reshape(B, 4, Kp)
+    w = jnp.where((sc >= score_threshold) & kpt_valid, sc, 0.0)
+
+    x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
+    pose7 = batch.camera_pose7
+    R_wp = rotation.matrix_from_quat_xyzw(pose7[..., 3:])
+    res = jax.vmap(
+        lambda xx, ww, Rw, cp: pnp_ops.solve_crane_pose(kpts_local, xx, ww, Rw, cp)
+    )(x, w, R_wp, pose7[..., :3])
+
+    px2n = 1.0 / float(intr.fx)
+    box_px = jnp.maximum(bbox[:, 2] - bbox[:, 0], bbox[:, 3] - bbox[:, 1])
+    detectable = any_vis & (box_px >= min_box_px)
+    accepted = res.valid & detectable & (res.rmse <= rmse_gate_px * px2n)
+    out: Dict[str, Array] = {
+        "n_detectable": jnp.sum(detectable),
+        "n_valid": jnp.sum(res.valid & detectable),
+        "n_accepted": jnp.sum(accepted),
+        "rmse": jnp.sum(jnp.where(res.valid, res.rmse, 0.0))
+        / jnp.maximum(jnp.sum(res.valid), 1),
+    }
+    adds, add01s = [], []
+    for pi, name in enumerate(part_names):
+        o = s0 + pi
+        mask = roster.inst_kpt_valid[o][:Kp]  # host-side numpy mask
+        model_pts = jnp.asarray(roster.inst_kpts[o, :Kp][mask])
+        add = metrics.add_metric(res.R[:, pi], res.t[:, pi],
+                                 *gt_camera_frame_pose(roster, batch, o),
+                                 model_pts)
+        dia = metrics.model_diameter(model_pts)
+        gate = accepted & batch.inst_visible[:, o]
+        out[f"add_mean_{name}"] = (jnp.sum(jnp.where(gate, add, 0.0))
+                                   / jnp.maximum(jnp.sum(gate), 1))
+        out[f"add_0_1d_{name}"] = metrics.add_accuracy(add, dia, gate)
+        adds.append(out[f"add_mean_{name}"])
+        add01s.append(out[f"add_0_1d_{name}"])
+    out["add_mean"] = jnp.mean(jnp.stack(adds))
+    out["add_0_1d"] = jnp.mean(jnp.stack(add01s))
+    return out
 
 
 def evaluate_crane_6dof(

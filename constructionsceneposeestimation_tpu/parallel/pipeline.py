@@ -76,7 +76,8 @@ class Pipeline:
 
     # ---------------- single frame ----------------
     def _one_frame(self, seed: Array, frame_id: Array, pose=None,
-                   ladder_cam=None, ladder_tgt=None, cam_override=None):
+                   ladder_cam=None, ladder_tgt=None, cam_override=None,
+                   camera_mix=None):
         cfg = self.cfg
         if pose is None:
             # Scene randomization on the reference cadence: same scene for
@@ -92,6 +93,17 @@ class Pipeline:
         k_cam, k_light = jax.random.split(k_frame)
         if cam_override is not None:
             cam_pos, target = cam_override
+        elif ladder_cam is not None and camera_mix is not None:
+            # Domain mix: ladder (close 4-12 m systematic) views with
+            # probability ``camera_mix``, else the far DR sampler — a model
+            # trained on one range alone degrades on the other.
+            k_mix, k_dr = jax.random.split(k_cam)
+            idx = frame_id % ladder_cam.shape[0]
+            dr_cam, dr_tgt = jax.tree_util.tree_map(
+                lambda x: x[0], camera_sampler.sample_camera_batch(k_dr, 1, cfg.camera))
+            use_ladder = jax.random.bernoulli(k_mix, camera_mix)
+            cam_pos = jnp.where(use_ladder, ladder_cam[idx], dr_cam)
+            target = jnp.where(use_ladder, ladder_tgt[idx], dr_tgt)
         elif ladder_cam is not None:
             idx = frame_id % ladder_cam.shape[0]
             cam_pos, target = ladder_cam[idx], ladder_tgt[idx]
@@ -116,15 +128,19 @@ class Pipeline:
         return ann, hms
 
     # ---------------- batched step ----------------
-    def make_generate_fn(self, ladder: bool = False, include_heatmaps: bool = True):
+    def make_generate_fn(self, ladder: bool = False, include_heatmaps: bool = True,
+                         camera_mix: float | None = None):
         """Returns jitted ``generate(seed_key, frame_ids (B,)) -> FrameBatch``.
 
         ``include_heatmaps=False`` (dataset-writing path) skips heatmap
         rasterization and returns a zero-channel array — the writers don't
         consume heatmaps, and a 512x512 batch otherwise computes and ships
-        ~170 MB of targets per 64 frames for nothing."""
+        ~170 MB of targets per 64 frames for nothing.
+
+        ``camera_mix`` (training streams): per-frame Bernoulli(p) choice of a
+        close-range ladder viewpoint over the far DR sampler."""
         cfg = self.cfg
-        if ladder:
+        if ladder or camera_mix is not None:
             # Precompute the 41-entry systematic ladder once (static).
             cams, tgts = camera_sampler.systematic_camera_positions(
                 cfg.pipeline.max_iterations, jax.random.PRNGKey(cfg.pipeline.seed)
@@ -159,7 +175,8 @@ class Pipeline:
             def one(fid):
                 gidx = jnp.clip(fid // cadence - g0, 0, n_groups - 1)
                 pose = jax.tree_util.tree_map(lambda x: x[gidx], poses)
-                ann, hms = self._one_frame(seed, fid, pose, cams, tgts)
+                ann, hms = self._one_frame(seed, fid, pose, cams, tgts,
+                                           camera_mix=camera_mix)
                 return ann, hms
 
             ch = min(self.vmap_chunk, B)

@@ -31,7 +31,12 @@ from . import loop as base_loop, losses
 Array = jax.Array
 
 
-def make_crop_model(class_name: str = "dumper", lite: bool = False):
+def make_crop_model(class_name: str = "dumper", lite: bool = False,
+                    roster=None):
+    if class_name == "crane":
+        assert roster is not None, "crane crop model needs the roster"
+        _, Kp = crane_channels(roster)
+        return pose_net.make_model(num_channels=4 * Kp, lite=lite)
     K = assets.all_templates()[class_name].num_keypoints
     return pose_net.make_model(num_channels=K, lite=lite)
 
@@ -84,11 +89,75 @@ def crop_batch(seed: Array, batch, roster, class_name: str, crop_size: int,
     return imgs, tgts, sample_w
 
 
+def crane_channels(roster):
+    """(s0, Kp): crane part slice start and per-part keypoint count for the
+    crop net's 4*Kp channel layout."""
+    import numpy as np
+    s0, s1 = roster.crane_slice
+    valid = np.asarray(roster.inst_kpt_valid[s0:s1])
+    Kp = int(valid.sum(1).max())
+    return s0, Kp
+
+
+def crane_union_roi(batch, roster):
+    """Merged 2D box over the four crane part instances (B, 4) — one ROI
+    covers the whole articulated machine; unseen parts don't shrink it."""
+    s0, s1 = roster.crane_slice
+    boxes = batch.bbox2d[:, s0:s1].astype(jnp.float32)  # (B, 4parts, 4)
+    vis = batch.inst_visible[:, s0:s1]
+    big = jnp.float32(1e9)
+    u0 = jnp.min(jnp.where(vis, boxes[..., 0], big), axis=1)
+    v0 = jnp.min(jnp.where(vis, boxes[..., 1], big), axis=1)
+    u1 = jnp.max(jnp.where(vis, boxes[..., 2], -big), axis=1)
+    v1 = jnp.max(jnp.where(vis, boxes[..., 3], -big), axis=1)
+    any_vis = jnp.any(vis, axis=1)
+    merged = jnp.stack([u0, v0, u1, v1], -1)
+    return jnp.where(any_vis[:, None], merged, -1.0), any_vis
+
+
+def crop_batch_crane(seed: Array, batch, roster, crop_size: int, stride: int,
+                     sigma: float, jitter: bool = True, augment: bool = True):
+    """Crane variant of crop_batch: one ROI around the 4-part union, targets
+    are 4*Kp channels (part-major) from the articulated part keypoints."""
+    s0, Kp = crane_channels(roster)
+    hm = crop_size // stride
+    C = 4 * Kp
+    kvalid = jnp.asarray(roster.inst_kpt_valid)[s0:s0 + 4, :Kp]  # (4, Kp)
+    bbox, any_vis = crane_union_roi(batch, roster)
+
+    def one(key, rgb, bb, kuv, kvis):
+        k_roi, k_aug = jax.random.split(key)
+        cu, cv, half = crop_ops.square_roi(bb)
+        if jitter:
+            cu, cv, half = crop_ops.jitter_roi(k_roi, cu, cv, half)
+        img = crop_ops.crop_resize(rgb.astype(jnp.float32) / 255.0,
+                                   cu, cv, half, crop_size)
+        if augment:
+            img = preprocess.photometric_augment(k_aug, img)
+        img = preprocess.normalize(img)
+        uvc = crop_ops.uv_to_crop(kuv.reshape(C, 2), cu, cv, half, crop_size)
+        in_crop = ((uvc[..., 0] >= 0) & (uvc[..., 0] < crop_size)
+                   & (uvc[..., 1] >= 0) & (uvc[..., 1] < crop_size))
+        vis = kvis.reshape(C) & kvalid.reshape(C) & in_crop
+        tgt = heatmap_ops.render_heatmaps(
+            uvc, jnp.arange(C, dtype=jnp.int32), vis, C, hm, hm, sigma,
+            float(stride))
+        return img, tgt
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(seed, i))(batch.frame_id)
+    imgs, tgts = jax.vmap(one)(
+        keys, batch.rgb, bbox,
+        batch.kpt_uv[:, s0:s0 + 4, :Kp], batch.kpt_visible[:, s0:s0 + 4, :Kp])
+    return imgs, tgts, any_vis.astype(jnp.float32)
+
+
 def make_crop_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline,
                          class_name: str = "dumper", crop_size: int = 128,
                          sigma: float = 1.5):
     tx = base_loop.make_optimizer(cfg)
-    gen = pipe.make_generate_fn(ladder=False, include_heatmaps=False)
+    gen = pipe.make_generate_fn(
+        ladder=False, include_heatmaps=False,
+        camera_mix=cfg.train.camera_mix if cfg.train.camera_mix > 0 else None)
     stride = getattr(model, "output_stride", 4)
 
     def loss_fn(params, images, targets, sample_w):
@@ -101,8 +170,12 @@ def make_crop_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline,
 
     def step(state: base_loop.TrainState, seed: Array, frame_ids: Array):
         batch = gen(seed, frame_ids)
-        images, targets, sample_w = crop_batch(
-            seed, batch, pipe.roster, class_name, crop_size, stride, sigma)
+        if class_name == "crane":
+            images, targets, sample_w = crop_batch_crane(
+                seed, batch, pipe.roster, crop_size, stride, sigma)
+        else:
+            images, targets, sample_w = crop_batch(
+                seed, batch, pipe.roster, class_name, crop_size, stride, sigma)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, images, targets, sample_w)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -1,0 +1,89 @@
+"""Detector training (CenterNet head over the shared backbone) — stage-1
+detection for the two-stage deployment path. Fully on-device like the other
+loops: datagen -> targets -> focal+L1 grads in one jitted scan."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import pose_net
+from ..ops import detect as detect_ops
+from ..ops import preprocess
+from ..parallel import pipeline as pipeline_mod
+from ..train import crop_loop
+from . import loop as base_loop
+
+Array = jax.Array
+
+
+def make_detect_model(lite: bool = False):
+    C = len(detect_ops.DET_CLASSES)
+    return pose_net.make_model(num_channels=C + 4, lite=lite)
+
+
+def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
+    tx = base_loop.make_optimizer(cfg)
+    gen = pipe.make_generate_fn(
+        ladder=False, include_heatmaps=False,
+        camera_mix=cfg.train.camera_mix if cfg.train.camera_mix > 0 else None)
+    stride = getattr(model, "output_stride", 4)
+    hm_h = cfg.pipeline.render_height // stride
+    hm_w = cfg.pipeline.render_width // stride
+    inst_cls = jnp.asarray(detect_ops.det_class_of_instances(pipe.roster))
+
+    # The four crane parts share one "crane" detection box: replace each
+    # part's bbox with the union so the class target is a single machine box.
+    def crane_merged_boxes(batch):
+        merged, any_vis = crop_loop.crane_union_roi(batch, pipe.roster)
+        s0, s1 = pipe.roster.crane_slice
+        bbox = batch.bbox2d.astype(jnp.float32)
+        vis = batch.inst_visible
+        bbox = bbox.at[:, s0:s1].set(merged[:, None, :])
+        # Only the FIRST part slot carries the crane box (others weight 0),
+        # so the union box isn't rendered four times.
+        vis = vis.at[:, s0 + 1:s1].set(False)
+        vis = vis.at[:, s0].set(any_vis)
+        return bbox, vis
+
+    def loss_fn(params, images, bbox, vis):
+        pred = pose_net.forward(model, params, images)  # (B, C+4, h, w)
+
+        def one(p, b, v):
+            tgt = detect_ops.build_targets(b, v, inst_cls, hm_h, hm_w,
+                                           float(stride))
+            loss, aux = detect_ops.detection_loss(p, *tgt)
+            return loss
+        per = jax.vmap(one)(pred, bbox, vis)
+        return jnp.mean(per)
+
+    def step(state: base_loop.TrainState, seed: Array, frame_ids: Array):
+        batch = gen(seed, frame_ids)
+        keys = jax.vmap(lambda i: jax.random.fold_in(seed, i))(frame_ids)
+        images = jax.vmap(lambda k, rgb: preprocess.preprocess_frame(
+            k, rgb, cfg.pipeline.render_height, cfg.pipeline.render_width,
+        ))(keys, batch.rgb)
+        bbox, vis = crane_merged_boxes(batch)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, images, bbox, vis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (base_loop.TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, "step": state.step})
+
+    return step, crane_merged_boxes
+
+
+def make_scanned_detect_train_fn(cfg: Config, model, pipe, inner_steps: int = 10):
+    step, _ = make_detect_train_step(cfg, model, pipe)
+    B = cfg.train.batch_size
+
+    def run(state, seed: Array, start_frame: Array):
+        def body(carry, i):
+            st, metrics = step(carry, seed, start_frame + i * B + jnp.arange(B))
+            return st, metrics
+        state, metrics = jax.lax.scan(body, state, jnp.arange(inner_steps))
+        return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+
+    return run

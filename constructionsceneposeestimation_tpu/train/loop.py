@@ -68,7 +68,9 @@ def make_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     """Returns ``step(state, seed, frame_ids) -> (state, metrics)`` — the full
     on-device datagen + train step."""
     tx = make_optimizer(cfg)
-    gen = pipe.make_generate_fn(ladder=False)
+    gen = pipe.make_generate_fn(
+        ladder=False,
+        camera_mix=cfg.train.camera_mix if cfg.train.camera_mix > 0 else None)
     ch_w = channel_weights_from_roster(pipe.roster) if cfg.train.channel_balance else None
     model_stride = getattr(model, "output_stride", 4)
     assert model_stride == cfg.pipeline.heatmap_stride, (
