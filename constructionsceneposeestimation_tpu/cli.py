@@ -253,7 +253,8 @@ def cmd_train_crop(args) -> None:
     if done < args.steps:
         inner = max(1, min(args.inner, args.steps))
         run = jax.jit(crop_loop.make_scanned_crop_train_fn(
-            cfg, model, pipe, inner, args.cls, args.crop), donate_argnums=(0,))
+            cfg, model, pipe, inner, args.cls, args.crop,
+            per_part=getattr(args, "per_part", False)), donate_argnums=(0,))
         seed = jax.random.PRNGKey(args.seed + 1)
         t0 = time.time()
         t0_done = done
@@ -275,7 +276,8 @@ def cmd_train_crop(args) -> None:
     if args.cls == "crane":
         out = eval_pipeline.evaluate_crop_crane_6dof(
             batch, pipe.roster, pipe.intr, model, state.params, args.crop,
-            score_threshold=args.pnp_threshold, loss=args.loss)
+            score_threshold=args.pnp_threshold, loss=args.loss,
+            per_part=getattr(args, "per_part", False))
         parts = " ".join(
             f"{p.replace('crane', '')}={float(out[f'add_0_1d_{p}']):.2f}"
             for p in ("cranebase", "cranecolumn", "craneboom",
@@ -450,6 +452,9 @@ def main() -> None:
     tc.add_argument("--eval-ladder", action="store_true")
     tc.add_argument("--camera-mix", type=float, default=0.0,
                     help="P(close-range ladder view) per train frame")
+    tc.add_argument("--per-part", action="store_true",
+                    help="crane only: one ROI per part (4 crops/frame) "
+                         "instead of the machine union box")
     tc.set_defaults(fn=cmd_train_crop)
 
     td = sub.add_parser("train-detect",

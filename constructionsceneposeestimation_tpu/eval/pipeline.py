@@ -426,10 +426,15 @@ def evaluate_crop_crane_6dof(
     batch, roster, intr: cam_mod.Intrinsics, model, params,
     crop_size: int = 128, score_threshold: float = 0.3,
     rmse_gate_px: float = 8.0, loss: str = "focal", min_box_px: float = 10.0,
+    per_part: bool = False,
 ) -> Dict[str, Array]:
-    """Two-stage crane pose: one ROI around the 4-part union, 4*Kp crop
-    channels, decoded keypoints mapped back to image pixels, FK-constrained
-    joint solve (ops/pnp.solve_crane_pose), per-part ADD."""
+    """Two-stage crane pose: ROI(s) -> 4*Kp crop channels -> decoded
+    keypoints mapped back to image pixels -> FK-constrained joint solve
+    (ops/pnp.solve_crane_pose) -> per-part ADD.
+
+    ``per_part=False``: one ROI around the 4-part union. ``per_part=True``:
+    four ROIs (one per part box) through the same net, each part decoded from
+    its own crop — boom/telescopic at full crop resolution."""
     from ..models import pose_net
     from ..ops import crop as crop_ops
     from ..ops import preprocess
@@ -442,22 +447,45 @@ def evaluate_crop_crane_6dof(
     stride = getattr(model, "output_stride", 4)
 
     bbox, any_vis = crop_loop.crane_union_roi(batch, roster)
-    cu, cv, half = crop_ops.square_roi(bbox)
 
     def one(rgb, cu1, cv1, h1):
         img = crop_ops.crop_resize(rgb.astype(jnp.float32) / 255.0,
                                    cu1, cv1, h1, crop_size)
         return preprocess.normalize(img)
 
-    imgs = jax.vmap(one)(batch.rgb, cu, cv, half)
-    hm = pose_net.output_to_heatmaps(pose_net.forward(model, params, imgs), loss)
-    uv_c, sc = decode_ops.dark_decode(hm)  # (B, 4*Kp, 2)
-    uv = crop_ops.crop_to_uv(uv_c * stride, cu[:, None], cv[:, None],
-                             half[:, None], crop_size)
-    B = uv.shape[0]
-    uv = uv.reshape(B, 4, Kp, 2)
-    sc = sc.reshape(B, 4, Kp)
-    w = jnp.where((sc >= score_threshold) & kpt_valid, sc, 0.0)
+    B = batch.rgb.shape[0]
+    if per_part:
+        pboxes = batch.bbox2d[:, s0:s0 + 4].astype(jnp.float32)  # (B, 4, 4)
+        cu, cv, half = crop_ops.square_roi(pboxes)  # (B, 4) each
+        imgs = jax.vmap(lambda rgb, cs, vs, hs: jax.vmap(
+            lambda c1, v1, h1: one(rgb, c1, v1, h1))(cs, vs, hs))(
+                batch.rgb, cu, cv, half)  # (B, 4, c, c, 3)
+        hm = pose_net.output_to_heatmaps(
+            pose_net.forward(model, params,
+                             imgs.reshape((B * 4,) + imgs.shape[2:])), loss)
+        uv_c, sc_all = decode_ops.dark_decode(hm)  # (B*4, 4*Kp, 2)
+        uv_c = uv_c.reshape(B, 4, 4, Kp, 2)
+        sc_all = sc_all.reshape(B, 4, 4, Kp)
+        # Part pi's keypoints from ITS crop: diagonal over (crop, part-block).
+        pidx = jnp.arange(4)
+        uv_c = uv_c[:, pidx, pidx]  # (B, 4, Kp, 2)
+        sc = sc_all[:, pidx, pidx]
+        uv = crop_ops.crop_to_uv(uv_c * stride, cu[..., None], cv[..., None],
+                                 half[..., None], crop_size)
+        part_vis = batch.inst_visible[:, s0:s0 + 4]
+        w = jnp.where((sc >= score_threshold) & kpt_valid
+                      & part_vis[..., None], sc, 0.0)
+    else:
+        cu, cv, half = crop_ops.square_roi(bbox)
+        imgs = jax.vmap(one)(batch.rgb, cu, cv, half)
+        hm = pose_net.output_to_heatmaps(
+            pose_net.forward(model, params, imgs), loss)
+        uv_c, sc = decode_ops.dark_decode(hm)  # (B, 4*Kp, 2)
+        uv = crop_ops.crop_to_uv(uv_c * stride, cu[:, None], cv[:, None],
+                                 half[:, None], crop_size)
+        uv = uv.reshape(B, 4, Kp, 2)
+        sc = sc.reshape(B, 4, Kp)
+        w = jnp.where((sc >= score_threshold) & kpt_valid, sc, 0.0)
 
     x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
     pose7 = batch.camera_pose7

@@ -151,9 +151,60 @@ def crop_batch_crane(seed: Array, batch, roster, crop_size: int, stride: int,
     return imgs, tgts, any_vis.astype(jnp.float32)
 
 
+def crop_batch_crane_parts(seed: Array, batch, roster, crop_size: int,
+                           stride: int, sigma: float, jitter: bool = True,
+                           augment: bool = True):
+    """Per-part crane crops: each frame contributes FOUR ROIs (one per part
+    box) through the same 4*Kp-channel net. A part-centered crop puts the
+    boom/telescopic at full resolution instead of a corner of the machine
+    union box; keypoints of OTHER parts falling inside the crop are
+    supervised too (free context).
+
+    Returns (images (B*4, c, c, 3), targets (B*4, 4*Kp, h, h), w (B*4,))."""
+    s0, Kp = crane_channels(roster)
+    hm = crop_size // stride
+    C = 4 * Kp
+    kvalid = jnp.asarray(roster.inst_kpt_valid)[s0:s0 + 4, :Kp]  # (4, Kp)
+
+    def one(key, rgb, part_box, kuv, kvis, part_vis):
+        k_roi, k_aug = jax.random.split(key)
+        cu, cv, half = crop_ops.square_roi(part_box)
+        if jitter:
+            cu, cv, half = crop_ops.jitter_roi(k_roi, cu, cv, half)
+        img = crop_ops.crop_resize(rgb.astype(jnp.float32) / 255.0,
+                                   cu, cv, half, crop_size)
+        if augment:
+            img = preprocess.photometric_augment(k_aug, img)
+        img = preprocess.normalize(img)
+        uvc = crop_ops.uv_to_crop(kuv.reshape(C, 2), cu, cv, half, crop_size)
+        in_crop = ((uvc[..., 0] >= 0) & (uvc[..., 0] < crop_size)
+                   & (uvc[..., 1] >= 0) & (uvc[..., 1] < crop_size))
+        vis = kvis.reshape(C) & kvalid.reshape(C) & in_crop
+        tgt = heatmap_ops.render_heatmaps(
+            uvc, jnp.arange(C, dtype=jnp.int32), vis, C, hm, hm, sigma,
+            float(stride))
+        return img, tgt, part_vis.astype(jnp.float32)
+
+    B = batch.rgb.shape[0]
+    kuv = batch.kpt_uv[:, s0:s0 + 4, :Kp]
+    kvis = batch.kpt_visible[:, s0:s0 + 4, :Kp]
+    pboxes = batch.bbox2d[:, s0:s0 + 4].astype(jnp.float32)  # (B, 4, 4)
+    pvis = batch.inst_visible[:, s0:s0 + 4]
+
+    def per_frame(key, rgb, boxes4, ku, kv, pv):
+        ks = jax.random.split(key, 4)
+        return jax.vmap(lambda k, bb, v: one(k, rgb, bb, ku, kv, v))(
+            ks, boxes4, pv)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(seed, i))(batch.frame_id)
+    imgs, tgts, w = jax.vmap(per_frame)(keys, batch.rgb, pboxes, kuv, kvis, pvis)
+    flat = lambda x: x.reshape((B * 4,) + x.shape[2:])
+    return flat(imgs), flat(tgts), w.reshape(B * 4)
+
+
 def make_crop_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline,
                          class_name: str = "dumper", crop_size: int = 128,
-                         sigma: float = 1.5):
+                         sigma: float = 1.5, per_part: bool = False):
     tx = base_loop.make_optimizer(cfg)
     gen = pipe.make_generate_fn(
         ladder=False, include_heatmaps=False,
@@ -170,7 +221,10 @@ def make_crop_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline,
 
     def step(state: base_loop.TrainState, seed: Array, frame_ids: Array):
         batch = gen(seed, frame_ids)
-        if class_name == "crane":
+        if class_name == "crane" and per_part:
+            images, targets, sample_w = crop_batch_crane_parts(
+                seed, batch, pipe.roster, crop_size, stride, sigma)
+        elif class_name == "crane":
             images, targets, sample_w = crop_batch_crane(
                 seed, batch, pipe.roster, crop_size, stride, sigma)
         else:
@@ -189,8 +243,10 @@ def make_crop_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline,
 
 def make_scanned_crop_train_fn(cfg: Config, model, pipe, inner_steps: int = 10,
                                class_name: str = "dumper",
-                               crop_size: int = 128, sigma: float = 1.5):
-    step = make_crop_train_step(cfg, model, pipe, class_name, crop_size, sigma)
+                               crop_size: int = 128, sigma: float = 1.5,
+                               per_part: bool = False):
+    step = make_crop_train_step(cfg, model, pipe, class_name, crop_size, sigma,
+                                per_part)
     B = cfg.train.batch_size
 
     def run(state, seed: Array, start_frame: Array):

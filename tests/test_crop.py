@@ -98,6 +98,37 @@ def test_crane_crop_batch_and_eval_floor():
             k: float(v) for k, v in out.items() if "add" in k}
 
 
+def test_crane_per_part_crop_and_eval_floor():
+    """Per-part ROIs (4 crops/frame): shapes + near-exact FK recovery when
+    the net output is the GT crop targets."""
+    from constructionsceneposeestimation_tpu.eval import pipeline as ep
+    import constructionsceneposeestimation_tpu.models.pose_net as pn
+    cfg, _, pipe, _ = _tiny_setup()
+    gen = jax.jit(pipe.make_generate_fn(ladder=True))
+    batch = gen(jax.random.PRNGKey(4), jnp.arange(4))
+    s0, Kp = crop_loop.crane_channels(pipe.roster)
+    imgs, tgts, w = crop_loop.crop_batch_crane_parts(
+        jax.random.PRNGKey(0), batch, pipe.roster, 64, 4, 1.0,
+        jitter=False, augment=False)
+    assert imgs.shape == (16, 64, 64, 3)
+    assert tgts.shape == (16, 4 * Kp, 16, 16)
+
+    class FakeModel:
+        output_stride = 4
+
+    orig = pn.forward
+    pn.forward = lambda m, p, im: jnp.log(
+        jnp.clip(tgts, 1e-4, 1 - 1e-4) / (1 - jnp.clip(tgts, 1e-4, 1 - 1e-4)))
+    try:
+        out = ep.evaluate_crop_crane_6dof(batch, pipe.roster, pipe.intr,
+                                          FakeModel(), None, 64, per_part=True)
+    finally:
+        pn.forward = orig
+    if int(out["n_accepted"]) > 0:
+        assert float(out["add_0_1d"]) > 0.8, {
+            k: float(v) for k, v in out.items() if "add_0" in k}
+
+
 def test_evaluate_crop_6dof_runs_and_gt_floor():
     """With heatmap targets AS the net output stand-in, the evaluator's
     geometry (crop decode -> image uv -> ground solve -> ADD) must recover
