@@ -43,17 +43,21 @@ def main():
 
     # Each step perturbs the input heatmaps with an f32 epsilon derived from
     # the carried accumulator (un-elidable; int*0 would constant-fold) and
-    # carries a scalar derived from the decoded output.
+    # carries a scalar derived from the decoded output. Heatmaps ride
+    # chained_ms's args (a closure constant of this size is embedded in the
+    # HLO and overflows the tunnel's compile upload).
     def chain(fn):
-        def step(acc):
-            out_uv, out_sc = fn(hms + acc * 1e-30)
+        def step(acc, h):
+            out_uv, out_sc = fn(h + acc * 1e-30)
             return acc + jnp.sum(out_uv) * 1e-12
         return step
 
-    emit("dark_decode", profiling.chained_ms(chain(decode.dark_decode)))
-    emit("soft_argmax", profiling.chained_ms(chain(decode.soft_argmax)))
+    emit("dark_decode", profiling.chained_ms(
+        chain(decode.dark_decode), args=(hms,)))
+    emit("soft_argmax", profiling.chained_ms(
+        chain(decode.soft_argmax), args=(hms,)))
     emit("extract_peaks_8", profiling.chained_ms(
-        chain(lambda h: decode.extract_peaks(h, max_peaks=8))))
+        chain(lambda h: decode.extract_peaks(h, max_peaks=8)), args=(hms,)))
 
 
 if __name__ == "__main__":

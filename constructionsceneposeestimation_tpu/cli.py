@@ -370,6 +370,106 @@ def cmd_train_detect(args) -> None:
               f"(accepted {int(out['n_accepted'])}/{int(out['n_valid'])})")
 
 
+def cmd_infer(args) -> None:
+    """Serving path: detector -> ROI crops -> keypoints -> ground-prior solve,
+    on freshly generated frames (or any (B,H,W,3) uint8 stream), emitting one
+    pose record per frame to ``--out`` as JSON lines. No labels are consumed
+    anywhere — this is the deployment inference loop."""
+    import json as json_mod
+
+    from .config import Config, PipelineConfig
+    from .core import rotation
+    from .eval import pipeline as eval_pipeline
+    from .models import pose_net
+    from .ops import crop as crop_ops, decode as decode_ops, detect as det_ops
+    from .ops import pnp as pnp_ops, preprocess
+    from .parallel import pipeline as pipeline_mod
+    from .scene import assets
+    from .train import checkpoint, crop_loop, detect_loop, loop as train_loop
+
+    cfg = Config(pipeline=PipelineConfig(render_width=args.size,
+                                         render_height=args.size))
+    pipe = pipeline_mod.Pipeline(
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+
+    det_model = detect_loop.make_detect_model()
+    det_state = train_loop.create_train_state(cfg, det_model, jax.random.PRNGKey(0))
+    m = checkpoint.CheckpointManager(args.det_ckpt, save_every=0)
+    det_state = m.restore(det_state); m.close()
+    crop_model = crop_loop.make_crop_model("dumper", roster=pipe.roster)
+    crop_state = crop_loop.create_crop_train_state(
+        cfg, crop_model, jax.random.PRNGKey(0), args.crop)
+    m = checkpoint.CheckpointManager(args.crop_ckpt, save_every=0)
+    crop_state = m.restore(crop_state); m.close()
+
+    tpl = assets.all_templates()["dumper"]
+    model_pts = jnp.asarray(tpl.keypoints)
+    intr = pipe.intr
+
+    def infer(rgb, camera_pose7):
+        """(B, H, W, 3) uint8 + camera extrinsics -> dumper poses."""
+        imgs = jax.vmap(lambda r: preprocess.normalize(
+            r.astype(jnp.float32) / 255.0))(rgb)
+        pred = pose_net.forward(det_model, det_state.params, imgs)
+        stride = getattr(det_model, "output_stride", 4)
+        boxes, scores = jax.vmap(lambda p: det_ops.decode_detections(
+            p, float(stride), 8))(pred)
+        di = det_ops.DET_CLASSES.index("dumper")
+        best = jnp.argmax(scores[:, di], axis=-1)
+        box = jnp.take_along_axis(boxes[:, di], best[:, None, None], axis=1)[:, 0]
+        det_score = jnp.take_along_axis(scores[:, di], best[:, None], axis=1)[:, 0]
+
+        cu, cv, half = crop_ops.square_roi(box)
+        crops = jax.vmap(lambda r, c1, v1, h1: preprocess.normalize(
+            crop_ops.crop_resize(r.astype(jnp.float32) / 255.0, c1, v1, h1,
+                                 args.crop)))(rgb, cu, cv, half)
+        hm = pose_net.output_to_heatmaps(
+            pose_net.forward(crop_model, crop_state.params, crops), "focal")
+        cstride = getattr(crop_model, "output_stride", 4)
+        uv_c, sc = decode_ops.dark_decode(hm)
+        uv = crop_ops.crop_to_uv(uv_c * cstride, cu[:, None], cv[:, None],
+                                 half[:, None], args.crop)
+        w = jnp.where(sc >= 0.15, sc, 0.0)
+        x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
+        R_wp = rotation.matrix_from_quat_xyzw(camera_pose7[..., 3:])
+        B = x.shape[0]
+        res = jax.vmap(pnp_ops.solve_ground_pose)(
+            jnp.broadcast_to(model_pts, (B,) + model_pts.shape), x, w,
+            R_wp, camera_pose7[..., :3])
+        return box, det_score, res
+
+    gen = jax.jit(pipe.make_generate_fn(ladder=args.ladder))
+    infer_j = jax.jit(infer)
+    seed = jax.random.PRNGKey(args.seed)
+    px2n = 1.0 / float(intr.fx)
+    n_out = 0
+    with open(args.out, "w") as f:
+        for lo in range(0, args.frames, args.batch):
+            ids = jnp.arange(lo, lo + args.batch)
+            batch = gen(seed, ids)
+            box, det_score, res = infer_j(batch.rgb, batch.camera_pose7)
+            accepted = np.asarray(res.valid
+                                  & (res.rmse <= 8.0 * px2n)
+                                  & (det_score >= args.det_threshold))
+            Rm = np.asarray(res.R); t = np.asarray(res.t)
+            for i in range(args.batch):
+                rec = {
+                    "frame_id": int(ids[i]),
+                    "detections": [{
+                        "class": "dumper",
+                        "score": float(det_score[i]),
+                        "bbox2d": [float(v) for v in np.asarray(box[i])],
+                        "pose_accepted": bool(accepted[i]),
+                        "R_cam": Rm[i].tolist(),
+                        "t_cam": t[i].tolist(),
+                        "reproj_rmse_px": float(res.rmse[i]) / px2n,
+                    }] if float(det_score[i]) >= args.det_threshold else [],
+                }
+                f.write(json_mod.dumps(rec) + "\n")
+                n_out += 1
+    print(f"wrote {n_out} pose records -> {args.out}")
+
+
 def cmd_bench(args) -> None:
     import bench  # repo-root bench.py when run from checkout
     bench.main()
@@ -474,6 +574,20 @@ def main() -> None:
     td.add_argument("--eval-ladder", action="store_true")
     td.add_argument("--camera-mix", type=float, default=0.0)
     td.set_defaults(fn=cmd_train_detect)
+
+    inf = sub.add_parser("infer", help="deployment inference: detector -> "
+                                       "crop -> 6DoF pose JSON lines")
+    inf.add_argument("--det-ckpt", required=True)
+    inf.add_argument("--crop-ckpt", required=True)
+    inf.add_argument("--out", default="poses.jsonl")
+    inf.add_argument("--frames", type=int, default=32)
+    inf.add_argument("--batch", type=int, default=16)
+    inf.add_argument("--size", type=int, default=512)
+    inf.add_argument("--crop", type=int, default=128)
+    inf.add_argument("--seed", type=int, default=0)
+    inf.add_argument("--ladder", action="store_true")
+    inf.add_argument("--det-threshold", type=float, default=0.3)
+    inf.set_defaults(fn=cmd_infer)
 
     b = sub.add_parser("bench", help="headline benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -56,31 +56,21 @@ def _gaussian_blur_3x3(h: Array) -> Array:
     return k[0] * hp[..., :, :-2] + k[1] * hp[..., :, 1:-1] + k[2] * hp[..., :, 2:]
 
 
-def _dark_refine(logh_flat: Array, py: Array, px: Array, H: int, W: int,
-                 eps: float = 1e-8):
-    """DARK Taylor refinement at integer peak locations.
+def _topk_iterative(flat: Array, k: int):
+    """Exact top-k for small k via unrolled max+argmax+suppress rounds.
 
-    logh_flat (..., H*W); py/px (..., K) -> sub-pixel offsets (..., K, 2)."""
-
-    def sample(dy, dx):
-        y = jnp.clip(py + dy, 0, H - 1)
-        x = jnp.clip(px + dx, 0, W - 1)
-        lin = y * W + x
-        return jnp.take_along_axis(logh_flat, lin, -1)
-
-    dx = 0.5 * (sample(0, 1) - sample(0, -1))
-    dy = 0.5 * (sample(1, 0) - sample(-1, 0))
-    dxx = sample(0, 1) - 2.0 * sample(0, 0) + sample(0, -1)
-    dyy = sample(1, 0) - 2.0 * sample(0, 0) + sample(-1, 0)
-    dxy = 0.25 * (sample(1, 1) - sample(1, -1) - sample(-1, 1) + sample(-1, -1))
-    det = dxx * dyy - dxy * dxy
-    det_safe = jnp.where(jnp.abs(det) < eps, jnp.sign(det) * eps + eps, det)
-    off_x = -(dyy * dx - dxy * dy) / det_safe
-    off_y = -(dxx * dy - dxy * dx) / det_safe
-    interior = (px > 0) & (px < W - 1) & (py > 0) & (py < H - 1)
-    sane = (dxx < 0) & (dyy < 0) & (jnp.abs(off_x) < 1.0) & (jnp.abs(off_y) < 1.0)
-    ok = interior & sane
-    return jnp.stack([jnp.where(ok, off_x, 0.0), jnp.where(ok, off_y, 0.0)], -1)
+    ``lax.top_k`` lowers to a per-row SORT on TPU — ~350 ms for
+    (21k, 16384) rows at k=8; k rounds of reductions are ~10x cheaper and
+    exact. Only for non-negative inputs (suppression writes 0)."""
+    n = flat.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(flat, -1)
+        vals.append(jnp.max(flat, -1))
+        idxs.append(i)
+        flat = jnp.where(iota == i[..., None], 0.0, flat)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
 def extract_peaks(heatmaps: Array, max_peaks: int = 8, blur: bool = True,
@@ -108,13 +98,54 @@ def extract_peaks(heatmaps: Array, max_peaks: int = 8, blur: bool = True,
     mp = jnp.pad(mp, pad + [(0, 0), (1, 1)], mode="edge")
     mp = jnp.maximum(jnp.maximum(mp[..., :, :-2], mp[..., :, 1:-1]), mp[..., :, 2:])
     is_peak = hm >= mp
-    flat = jnp.where(is_peak, hm, 0.0).reshape(hm.shape[:-2] + (H * W,))
-    scores, idx = jax.lax.top_k(flat, max_peaks)
-    py = idx // W
-    px = idx % W
-    logh = jnp.log(jnp.maximum(hm, eps)).reshape(flat.shape)
-    off = _dark_refine(logh, py, px, H, W, eps)
-    uv = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)], -1) + off
+
+    # TPU design: per-(batch, channel, k) gathers of the 3x3 log neighborhood
+    # cost ~7x everything else (scalar gather path). Instead the DARK offsets
+    # are computed DENSELY (shifted-view arithmetic, fully fused), quantized
+    # to 5+5 bits, and PACKED into the low mantissa of the peak score before
+    # ``top_k`` — the same mantissa-payload trick as the ray sweep
+    # (render/raycast._pack). One top_k then yields position, score, and
+    # offset together: no gather anywhere. Offset resolution 2/31 px (~16x
+    # finer than the PCK tolerance); score perturbation <= 2^-13 relative.
+    lp = jnp.pad(jnp.log(jnp.maximum(hm, eps)),
+                 pad + [(1, 1), (1, 1)], mode="edge")
+
+    def v(dy, dx):
+        return lp[..., 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+
+    dx_ = 0.5 * (v(0, 1) - v(0, -1))
+    dy_ = 0.5 * (v(1, 0) - v(-1, 0))
+    dxx = v(0, 1) - 2.0 * v(0, 0) + v(0, -1)
+    dyy = v(1, 0) - 2.0 * v(0, 0) + v(-1, 0)
+    dxy = 0.25 * (v(1, 1) - v(1, -1) - v(-1, 1) + v(-1, -1))
+    det = dxx * dyy - dxy * dxy
+    det_safe = jnp.where(jnp.abs(det) < eps, jnp.sign(det) * eps + eps, det)
+    off_x = -(dyy * dx_ - dxy * dy_) / det_safe
+    off_y = -(dxx * dy_ - dxy * dx_) / det_safe
+    sane = (dxx < 0) & (dyy < 0) & (jnp.abs(off_x) < 1.0) & (jnp.abs(off_y) < 1.0)
+    ux = jnp.arange(W)[None, :]
+    uy = jnp.arange(H)[:, None]
+    interior = (ux > 0) & (ux < W - 1) & (uy > 0) & (uy < H - 1)
+    ok = sane & interior
+    qx = jnp.clip(jnp.round(off_x * 16.0) + 16, 0, 31).astype(jnp.int32)
+    qy = jnp.clip(jnp.round(off_y * 16.0) + 16, 0, 31).astype(jnp.int32)
+    code = jnp.where(ok, (qx << 5) | qy, (16 << 5) | 16)  # 16 == offset 0.0
+
+    peak_score = jnp.where(is_peak, hm, 0.0)
+    bits = jax.lax.bitcast_convert_type(peak_score, jnp.int32)
+    packed = jax.lax.bitcast_convert_type(
+        jnp.bitwise_or(jnp.bitwise_and(bits, ~1023), code), jnp.float32)
+    flat = packed.reshape(hm.shape[:-2] + (H * W,))
+    top, idx = _topk_iterative(flat, max_peaks)
+    tbits = jax.lax.bitcast_convert_type(top, jnp.int32)
+    scores = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(tbits, ~1023), jnp.float32)
+    tcode = jnp.bitwise_and(tbits, 1023)
+    off_xq = ((tcode >> 5) - 16).astype(jnp.float32) / 16.0
+    off_yq = (jnp.bitwise_and(tcode, 31) - 16).astype(jnp.float32) / 16.0
+    py = (idx // W).astype(jnp.float32)
+    px = (idx % W).astype(jnp.float32)
+    uv = jnp.stack([px + off_xq, py + off_yq], -1)
     return uv, scores
 
 
@@ -167,26 +198,33 @@ def dark_decode(heatmaps: Array, blur: bool = True, eps: float = 1e-8):
     *_, H, W = heatmaps.shape
     if blur:
         hm = _gaussian_blur_3x3(heatmaps)
-        # Blur preserves peak amplitude poorly; renormalize per channel.
-        scale = jnp.max(heatmaps, (-1, -2), keepdims=True) / (
-            jnp.max(hm, (-1, -2), keepdims=True) + eps
-        )
-        hm = hm * scale
     else:
         hm = heatmaps
     flat = hm.reshape(hm.shape[:-2] + (H * W,))
     idx = jnp.argmax(flat, -1)
-    score = jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]
+    # Score = UN-blurred peak amplitude (what thresholds are calibrated on).
+    # The blur only steers argmax + log-derivatives, both of which are
+    # invariant to per-channel scaling — so no renormalization pass is needed
+    # (it used to cost two extra full-map max reductions).
+    score = jnp.max(heatmaps.reshape(flat.shape), -1)
     py = idx // W
     px = idx % W
 
+    # TPU note: gathers with per-(batch, channel) indices (take_along_axis)
+    # lower to a scalar gather path that costs ~7x the whole decode. The
+    # peak's 3x3 log neighborhood is read instead with ONE-HOT MASK
+    # REDUCTIONS over statically-shifted views of the edge-padded map: nine
+    # fused multiply-reduce passes, no gather anywhere. (Measured 651 ->
+    # several-k img/s at B=256, 83ch, 128^2.)
     logh = jnp.log(jnp.maximum(hm, eps))
+    lp = jnp.pad(logh, [(0, 0)] * (logh.ndim - 2) + [(1, 1), (1, 1)],
+                 mode="edge")
+    onehot = (jnp.arange(H * W, dtype=idx.dtype) == idx[..., None]).astype(
+        logh.dtype)
 
     def sample(dy, dx):
-        y = jnp.clip(py + dy, 0, H - 1)
-        x = jnp.clip(px + dx, 0, W - 1)
-        lin = y * W + x
-        return jnp.take_along_axis(logh.reshape(flat.shape), lin[..., None], -1)[..., 0]
+        v = lp[..., 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        return jnp.sum(v.reshape(flat.shape) * onehot, -1)
 
     dx = 0.5 * (sample(0, 1) - sample(0, -1))
     dy = 0.5 * (sample(1, 0) - sample(-1, 0))

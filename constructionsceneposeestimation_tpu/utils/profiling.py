@@ -37,18 +37,24 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def chained_ms(step_fn: Callable, n: int = 16) -> float:
-    """Per-iteration milliseconds of ``step_fn(acc: f32 scalar) -> f32
+def chained_ms(step_fn: Callable, n: int = 16, args: tuple = ()) -> float:
+    """Per-iteration milliseconds of ``step_fn(acc: f32 scalar, *args) -> f32
     scalar`` under a genuine sequential chain.
 
     ``step_fn`` must mix ``acc`` into its computation un-elidably — fold it
     into a PRNG seed (``jax.random.fold_in(key, acc.astype(int32))``) or add
     it to f32 data (never ``int * 0``).
+
+    Pass large device arrays through ``args``, NOT via closure: a
+    closed-over concrete array is embedded as an HLO literal, and the axon
+    tunnel's remote-compile endpoint rejects / crawls on multi-hundred-MB
+    program uploads (observed: HTTP 413 at ~1.4 GB).
     """
-    run = jax.jit(lambda a: jax.lax.fori_loop(0, n, lambda i, acc: step_fn(acc), a))
-    float(jax.block_until_ready(run(jnp.float32(0.0))))  # compile + warm-up
+    run = jax.jit(lambda a, *xs: jax.lax.fori_loop(
+        0, n, lambda i, acc: step_fn(acc, *xs), a))
+    float(jax.block_until_ready(run(jnp.float32(0.0), *args)))  # compile+warm
     t0 = time.perf_counter()
-    float(jax.block_until_ready(run(jnp.float32(1.0))))
+    float(jax.block_until_ready(run(jnp.float32(1.0), *args)))
     return (time.perf_counter() - t0) / n * 1e3
 
 
