@@ -230,7 +230,9 @@ def cmd_train_crop(args) -> None:
     from .parallel import pipeline as pipeline_mod
     from .train import crop_loop
 
+    from .config import SceneConfig
     cfg = Config(
+        scene=SceneConfig(n_dumpers=getattr(args, "n_dumpers", 1)),
         pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
         train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1),
                           loss=args.loss,
@@ -555,6 +557,8 @@ def main() -> None:
     tc.add_argument("--per-part", action="store_true",
                     help="crane only: one ROI per part (4 crops/frame) "
                          "instead of the machine union box")
+    tc.add_argument("--n-dumpers", type=int, default=1,
+                    help="train/eval scenes with N dumpers (multi-instance)")
     tc.set_defaults(fn=cmd_train_crop)
 
     td = sub.add_parser("train-detect",

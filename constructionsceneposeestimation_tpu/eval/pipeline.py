@@ -346,6 +346,84 @@ def evaluate_crop_6dof(
     }
 
 
+def evaluate_crop_6dof_multi(
+    batch, roster, intr: cam_mod.Intrinsics, model, params,
+    class_name: str = "dumper", crop_size: int = 128,
+    score_threshold: float = 0.3, rmse_gate_px: float = 8.0,
+    loss: str = "focal", min_box_px: float = 6.0,
+) -> Dict[str, Array]:
+    """Multi-instance crop-stage 6DoF: one ROI per (frame, instance) of the
+    class — every instance's box (label box = detector stand-in) through the
+    same crop net, solved and scored independently. Lifts the crop path to
+    multi-dumper scenes (SceneConfig.n_dumpers > 1)."""
+    from ..models import pose_net
+    from ..ops import crop as crop_ops
+    from ..ops import preprocess
+
+    idxs = [i for i, n in enumerate(roster.inst_class_names) if n == class_name]
+    tpl = assets.all_templates()[class_name]
+    K = tpl.num_keypoints
+    model_pts = jnp.asarray(tpl.keypoints)
+    stride = getattr(model, "output_stride", 4)
+    I = len(idxs)
+    oi = jnp.asarray(idxs)
+
+    bbox = batch.bbox2d[:, oi].astype(jnp.float32)  # (B, I, 4)
+    cu, cv, half = crop_ops.square_roi(bbox)  # (B, I)
+
+    def one(rgb, c1, v1, h1):
+        img = crop_ops.crop_resize(rgb.astype(jnp.float32) / 255.0,
+                                   c1, v1, h1, crop_size)
+        return preprocess.normalize(img)
+
+    imgs = jax.vmap(lambda rgb, cs, vs, hs: jax.vmap(
+        lambda c1, v1, h1: one(rgb, c1, v1, h1))(cs, vs, hs))(
+            batch.rgb, cu, cv, half)  # (B, I, c, c, 3)
+    B = imgs.shape[0]
+    hm = pose_net.output_to_heatmaps(
+        pose_net.forward(model, params,
+                         imgs.reshape((B * I,) + imgs.shape[2:])), loss)
+    uv_c, sc = decode_ops.dark_decode(hm)  # (B*I, K, 2)
+    uv_c = uv_c.reshape(B, I, K, 2)
+    sc = sc.reshape(B, I, K)
+    uv = crop_ops.crop_to_uv(uv_c * stride, cu[..., None], cv[..., None],
+                             half[..., None], crop_size)
+    w = jnp.where(sc >= score_threshold, sc, 0.0)
+
+    x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
+    pose7 = batch.camera_pose7
+    R_wp = rotation.matrix_from_quat_xyzw(pose7[..., 3:])
+    Xb = jnp.broadcast_to(model_pts, (I,) + model_pts.shape)
+    res = jax.vmap(
+        lambda xx, ww, Rw, cp: jax.vmap(
+            lambda X, xi, wi: pnp_ops.solve_ground_pose(X, xi, wi, Rw, cp)
+        )(Xb, xx, ww)
+    )(x, w, R_wp, pose7[..., :3])
+
+    px2n = 1.0 / float(intr.fx)
+    box_px = jnp.maximum(bbox[..., 2] - bbox[..., 0],
+                         bbox[..., 3] - bbox[..., 1])
+    detectable = batch.inst_visible[:, oi] & (box_px >= min_box_px)
+    accepted = res.valid & detectable & (res.rmse <= rmse_gate_px * px2n)
+
+    adds, gates = [], []
+    for col, o in enumerate(idxs):
+        R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
+        adds.append(metrics.add_metric(res.R[:, col], res.t[:, col],
+                                       R_gt, t_gt, model_pts))
+        gates.append(accepted[:, col])
+    add = jnp.stack(adds, -1)
+    gate = jnp.stack(gates, -1)
+    dia = metrics.model_diameter(model_pts)
+    return {
+        "add_mean": jnp.sum(jnp.where(gate, add, 0.0))
+        / jnp.maximum(jnp.sum(gate), 1),
+        "add_0_1d": metrics.add_accuracy(add, dia, gate),
+        "n_detectable": jnp.sum(detectable),
+        "n_accepted": jnp.sum(gate),
+    }
+
+
 def _iou(a: Array, b: Array) -> Array:
     """IoU of boxes a (..., 4) vs b (..., 4) [u0, v0, u1, v1]."""
     iw = jnp.maximum(0.0, jnp.minimum(a[..., 2], b[..., 2])

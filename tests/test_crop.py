@@ -67,6 +67,58 @@ def test_crop_train_step_decreases_loss():
     assert int(state.step) == 4
 
 
+def test_multi_instance_crop_eval_floor():
+    """Multi-dumper crop eval: per-(frame, instance) ROIs; GT-target logits
+    recover every instance's pose."""
+    from constructionsceneposeestimation_tpu.config import (
+        Config as C2, PipelineConfig as P2, SceneConfig as S2,
+    )
+    from constructionsceneposeestimation_tpu.eval import pipeline as ep
+    import constructionsceneposeestimation_tpu.models.pose_net as pn
+    from constructionsceneposeestimation_tpu.ops import crop as crop_ops
+    from constructionsceneposeestimation_tpu.ops import heatmap as hm_ops
+    from constructionsceneposeestimation_tpu.scene import assets as assets_mod
+    import constructionsceneposeestimation_tpu.parallel.pipeline as pm
+
+    cfg = C2(scene=S2(n_cones=1, n_trees=1, n_fence_panels=2, n_dumpers=2),
+             pipeline=P2(render_width=96, render_height=96))
+    pipe = pm.Pipeline(cfg, vmap_chunk=4)
+    gen = jax.jit(pipe.make_generate_fn(ladder=True))
+    batch = gen(jax.random.PRNGKey(6), jnp.arange(4))
+    idxs = [i for i, n in enumerate(pipe.roster.inst_class_names)
+            if n == "dumper"]
+    K = assets_mod.all_templates()["dumper"].num_keypoints
+    oi = jnp.asarray(idxs)
+    bbox = batch.bbox2d[:, oi].astype(jnp.float32)
+    cu, cv, half = crop_ops.square_roi(bbox)
+
+    def tgt_one(c1, v1, h1, kuv, kvis):
+        uvc = crop_ops.uv_to_crop(kuv, c1, v1, h1, 64)
+        inside = ((uvc[..., 0] >= 0) & (uvc[..., 0] < 64)
+                  & (uvc[..., 1] >= 0) & (uvc[..., 1] < 64))
+        return hm_ops.render_heatmaps(uvc, jnp.arange(K, dtype=jnp.int32),
+                                      kvis & inside, K, 16, 16, 1.0, 4.0)
+
+    tgts = jax.vmap(jax.vmap(tgt_one))(
+        cu, cv, half, batch.kpt_uv[:, oi, :K], batch.kpt_visible[:, oi, :K])
+    tgts = tgts.reshape((-1,) + tgts.shape[2:])
+
+    class FakeModel:
+        output_stride = 4
+
+    orig = pn.forward
+    pn.forward = lambda m, p, im: jnp.log(
+        jnp.clip(tgts, 1e-4, 1 - 1e-4) / (1 - jnp.clip(tgts, 1e-4, 1 - 1e-4)))
+    try:
+        out = ep.evaluate_crop_6dof_multi(batch, pipe.roster, pipe.intr,
+                                          FakeModel(), None, "dumper", 64)
+    finally:
+        pn.forward = orig
+    assert int(out["n_detectable"]) >= 4
+    if int(out["n_accepted"]) > 0:
+        assert float(out["add_0_1d"]) > 0.8, {k: float(v) for k, v in out.items()}
+
+
 def test_crane_crop_batch_and_eval_floor():
     """Crane variant: union ROI + 4*Kp channels; evaluator with GT-target
     logits must recover the FK joint solve near-exactly."""
