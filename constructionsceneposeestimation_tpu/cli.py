@@ -454,7 +454,9 @@ def cmd_infer(args) -> None:
                                   & (res.rmse <= 8.0 * px2n)
                                   & (det_score >= args.det_threshold))
             Rm = np.asarray(res.R); t = np.asarray(res.t)
-            for i in range(args.batch):
+            # The final batch is padded to the static batch shape; emit only
+            # records for real frame ids (< --frames).
+            for i in range(min(args.frames - lo, args.batch)):
                 rec = {
                     "frame_id": int(ids[i]),
                     "detections": [{

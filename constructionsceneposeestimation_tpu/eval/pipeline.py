@@ -110,6 +110,26 @@ def evaluate_decode_associated(
     }
 
 
+def _in_site(t_cam: Array, R_wp: Array, cam_pos: Array,
+             margin: float = 2.0) -> Array:
+    """Site-bounds acceptance gate, applied uniformly by every ground-prior
+    evaluator: equipment lives inside the fence (reference placement bounds,
+    generate_construction_data.py:935-936, + margin). Rare bad GN basins land
+    tens of meters outside with plausible reprojection; reject them.
+
+    ``t_cam`` (..., 3) camera-frame translation; ``R_wp``/(…,3,3) and
+    ``cam_pos`` broadcast against it."""
+    from ..config import RandomizationConfig
+    rc = RandomizationConfig()
+    t_world = jnp.einsum("...ij,...j->...i", R_wp, t_cam) + cam_pos
+    return (
+        (t_world[..., 0] >= rc.fence_x[0] - margin)
+        & (t_world[..., 0] <= rc.fence_x[1] + margin)
+        & (t_world[..., 1] >= rc.fence_y[0] - margin)
+        & (t_world[..., 1] <= rc.fence_y[1] + margin)
+    )
+
+
 def gt_camera_frame_pose(roster, batch, inst_index: int):
     """Ground-truth (R, t) mapping object-local points -> pinhole camera frame
     for one instance, derived from the emitted labels: p_cam = R_wp^T (R_obj
@@ -192,17 +212,7 @@ def evaluate_equipment_6dof(
     # high-residual solutions rather than trust them.
     accepted = valid & (res.rmse <= rmse_gate_px * px2n)
     if ground_prior:
-        # Site-bounds gate: equipment lives inside the fence (reference
-        # bounds, generate_construction_data.py:935-936 + margin). Rare bad
-        # GN basins land tens of meters out with plausible reprojection.
-        from ..config import RandomizationConfig
-        rc = RandomizationConfig()
-        t_world = jnp.einsum("bij,bj->bi", R_wp, res.t) + pose7[..., :3]
-        in_site = (
-            (t_world[:, 0] >= rc.fence_x[0] - 2.0) & (t_world[:, 0] <= rc.fence_x[1] + 2.0)
-            & (t_world[:, 1] >= rc.fence_y[0] - 2.0) & (t_world[:, 1] <= rc.fence_y[1] + 2.0)
-        )
-        accepted = accepted & in_site
+        accepted = accepted & _in_site(res.t, R_wp, pose7[..., :3])
     return {
         "add_mean": jnp.sum(jnp.where(accepted, add, 0.0)) / jnp.maximum(jnp.sum(accepted), 1),
         "add_0_1d": metrics.add_accuracy(add, dia, accepted),
@@ -255,7 +265,8 @@ def evaluate_equipment_6dof_multi(
     )(x, w, R_wp, pose7[..., :3])
 
     px2n = 1.0 / float(intr.fx)
-    accepted = res.valid & (res.rmse <= rmse_gate_px * px2n)  # (B, I)
+    accepted = (res.valid & (res.rmse <= rmse_gate_px * px2n)
+                & _in_site(res.t, R_wp[:, None], pose7[:, None, :3]))  # (B, I)
 
     adds = []
     gates = []
@@ -333,7 +344,8 @@ def evaluate_crop_6dof(
     detectable = batch.inst_visible[:, o] & (box_px >= min_box_px)
     valid = res.valid & detectable
     px2n = 1.0 / float(intr.fx)
-    accepted = valid & (res.rmse <= rmse_gate_px * px2n)
+    accepted = (valid & (res.rmse <= rmse_gate_px * px2n)
+                & _in_site(res.t, R_wp, pose7[..., :3]))
     return {
         "add_mean": jnp.sum(jnp.where(accepted, add, 0.0))
         / jnp.maximum(jnp.sum(accepted), 1),
@@ -404,7 +416,8 @@ def evaluate_crop_6dof_multi(
     box_px = jnp.maximum(bbox[..., 2] - bbox[..., 0],
                          bbox[..., 3] - bbox[..., 1])
     detectable = batch.inst_visible[:, oi] & (box_px >= min_box_px)
-    accepted = res.valid & detectable & (res.rmse <= rmse_gate_px * px2n)
+    accepted = (res.valid & detectable & (res.rmse <= rmse_gate_px * px2n)
+                & _in_site(res.t, R_wp[:, None], pose7[:, None, :3]))
 
     adds, gates = [], []
     for col, o in enumerate(idxs):
@@ -441,10 +454,10 @@ def evaluate_detector(
     iou_thresh: float = 0.5, max_det: int = 8,
 ) -> Dict[str, Array]:
     """Detection quality vs the renderer's pixel-tight boxes: per-class and
-    aggregate precision/recall at IoU>=``iou_thresh`` (any-match counting — a
-    peak-NMS detector on disjoint instances rarely double-matches, so this is
-    a tight proxy for matched P/R), plus best-dumper-box IoU for the crop
-    hand-off. Returns the decoded boxes too for downstream use."""
+    aggregate precision/recall at IoU>=``iou_thresh`` under ONE-TO-ONE greedy
+    score-ordered matching (duplicates of a matched GT count as FP), plus
+    per-class all-point AP@IoU (``ap_<cls>``, mean in ``map``) and the best
+    dumper box for the crop hand-off. Returns the decoded boxes too."""
     from ..models import pose_net
     from ..ops import detect as detect_ops
     from ..ops import preprocess
@@ -467,28 +480,51 @@ def evaluate_detector(
     gt_vis = gt_vis.at[:, s0].set(any_vis)
 
     C = len(detect_ops.DET_CLASSES)
+    O = gt_boxes.shape[1]
+    D = boxes.shape[2]
     out: Dict[str, Array] = {}
-    tps, fps, fns = [], [], []
+    tps, fps, gts = [], [], []
     for ci, cname in enumerate(detect_ops.DET_CLASSES):
-        det_b = boxes[:, ci]  # (B, D, 4)
+        det_b = boxes[:, ci]  # (B, D, 4), score-descending (decoder order)
         det_s = scores[:, ci]
         keep = det_s >= score_threshold
         gsel = (inst_cls == ci)[None, :] & gt_vis  # (B, O)
         iou = _iou(det_b[:, :, None, :], gt_boxes[:, None, :, :])  # (B, D, O)
         iou = jnp.where(gsel[:, None, :], iou, 0.0)
-        det_hit = jnp.max(iou, axis=2) >= iou_thresh  # (B, D)
-        gt_hit = jnp.max(jnp.where(keep[:, :, None], iou, 0.0),
-                         axis=1) >= iou_thresh  # (B, O)
+        # ONE-TO-ONE greedy matching in score order: each detection claims at
+        # most one unmatched GT, each GT at most one detection — duplicate
+        # detections of the same instance count as FP. Below-threshold dets
+        # are processed after every kept one (score order), so they cannot
+        # steal a kept detection's GT; one pass therefore serves both the
+        # thresholded P/R and the ranked AP.
+        taken = jnp.zeros((iou.shape[0], O), bool)
+        hits = []
+        for d in range(D):
+            iou_d = jnp.where(taken, 0.0, iou[:, d])  # (B, O)
+            best = jnp.argmax(iou_d, axis=-1)
+            hit = jnp.max(iou_d, axis=-1) >= iou_thresh
+            taken = taken | ((jnp.arange(O)[None, :] == best[:, None])
+                             & hit[:, None])
+            hits.append(hit)
+        det_hit = jnp.stack(hits, 1)  # (B, D)
         tp = jnp.sum(det_hit & keep)
         fp = jnp.sum(~det_hit & keep)
-        fn = jnp.sum(gsel) - jnp.sum(gt_hit & gsel)
+        n_gt = jnp.sum(gsel)
         out[f"precision_{cname}"] = tp / jnp.maximum(tp + fp, 1)
-        out[f"recall_{cname}"] = (jnp.sum(gt_hit & gsel)
-                                  / jnp.maximum(jnp.sum(gsel), 1))
-        tps.append(tp); fps.append(fp); fns.append(fn)
-    tp, fp, fn = (jnp.sum(jnp.stack(v)) for v in (tps, fps, fns))
+        out[f"recall_{cname}"] = tp / jnp.maximum(n_gt, 1)
+        # AP@IoU: all detections ranked by score across the batch; all-point
+        # average precision over the one-to-one match outcomes.
+        order = jnp.argsort(-det_s.reshape(-1))
+        hit_sorted = jnp.take(det_hit.reshape(-1), order).astype(jnp.float32)
+        cum_tp = jnp.cumsum(hit_sorted)
+        prec = cum_tp / (jnp.arange(hit_sorted.shape[0]) + 1.0)
+        out[f"ap_{cname}"] = jnp.sum(prec * hit_sorted) / jnp.maximum(n_gt, 1)
+        tps.append(tp); fps.append(fp); gts.append(n_gt)
+    tp, fp, n_gt = (jnp.sum(jnp.stack(v)) for v in (tps, fps, gts))
     out["precision"] = tp / jnp.maximum(tp + fp, 1)
-    out["recall"] = tp / jnp.maximum(tp + fn, 1)
+    out["recall"] = tp / jnp.maximum(n_gt, 1)
+    out["map"] = jnp.mean(jnp.stack(
+        [out[f"ap_{c}"] for c in detect_ops.DET_CLASSES]))
 
     # Best dumper detection per frame (for the crop-stage hand-off).
     di = detect_ops.DET_CLASSES.index("dumper")

@@ -112,6 +112,9 @@ def extract_peaks(heatmaps: Array, max_peaks: int = 8, blur: bool = True,
     (uv (..., C, K, 2), scores (..., C, K)) sorted by score descending.
     """
     *_, H, W = heatmaps.shape
+    # The suppress-to-0 top-k and the mantissa packing require non-negative
+    # inputs; raw mse-trained network outputs can dip below zero.
+    heatmaps = jnp.maximum(heatmaps, 0.0)
     if blur:
         hm = _gaussian_blur_3x3(heatmaps)
         scale = jnp.max(heatmaps, (-1, -2), keepdims=True) / (

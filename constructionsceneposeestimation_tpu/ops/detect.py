@@ -107,12 +107,16 @@ def decode_detections(pred: Array, stride: float, max_det: int = 8):
 
     Returns (boxes (C, max_det, 4) image pixels [u0, v0, u1, v1],
     scores (C, max_det))."""
+    from . import decode as decode_ops
     C = pred.shape[0] - 4
     hm = jax.nn.sigmoid(pred[:C])
     hm = _local_max(hm)
     h, w = hm.shape[-2:]
     flat = hm.reshape(C, -1)
-    scores, idx = jax.lax.top_k(flat, max_det)  # (C, max_det)
+    # lax.top_k lowers to a per-row sort on TPU (the anti-pattern this repo
+    # measured at ~350 ms); post-sigmoid NMS'd maps are non-negative, so the
+    # unrolled max+suppress rounds apply. Deployment pays this per frame.
+    scores, idx = decode_ops._topk_iterative(flat, max_det)  # (C, max_det)
     vi = idx // w
     ui = idx % w
     pr_size = pred[C:C + 2].reshape(2, -1)

@@ -77,7 +77,7 @@ class Pipeline:
     # ---------------- single frame ----------------
     def _one_frame(self, seed: Array, frame_id: Array, pose=None,
                    ladder_cam=None, ladder_tgt=None, cam_override=None,
-                   camera_mix=None):
+                   camera_mix=None, light_key=None):
         cfg = self.cfg
         if pose is None:
             # Scene randomization on the reference cadence: same scene for
@@ -111,6 +111,8 @@ class Pipeline:
             cam_pos, target = jax.tree_util.tree_map(
                 lambda x: x[0], camera_sampler.sample_camera_batch(k_cam, 1, cfg.camera)
             )
+        if light_key is not None:
+            k_light = light_key  # sequence mode: one sun per clip, no flicker
         lit = lighting_mod.sample_lighting(k_light, cfg.lighting)
 
         ann = annotate.render_frame(
@@ -256,7 +258,11 @@ class Pipeline:
                 pose = seq_mod.interpolate_pose(pa, pb, t, self.roster)
                 k_cam = jax.random.fold_in(jax.random.fold_in(seed, g), 7772)
                 cam = seq_mod.sequence_camera(k_cam, t, cfg.camera)
-                return self._one_frame(seed, fid, pose, cam_override=cam)
+                # Lighting keyed by the GROUP, not the frame: a clip's sun
+                # direction/intensity must not flicker frame to frame.
+                k_light = jax.random.fold_in(jax.random.fold_in(seed, g), 7773)
+                return self._one_frame(seed, fid, pose, cam_override=cam,
+                                       light_key=k_light)
 
             ch = min(self.vmap_chunk, B)
             if B % ch == 0 and B > ch:

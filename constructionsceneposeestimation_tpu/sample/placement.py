@@ -69,6 +69,23 @@ def _find_valid_position(
     return jnp.where(any_ok, cand[first], fb), any_ok
 
 
+def _place_group(carry, k, radius, rng, margin, center_range,
+                 cfg: RandomizationConfig):
+    """One human/cone placement step (reference 1158-1222): random center,
+    first-valid candidate vs everything placed so far, random yaw."""
+    placed_xy, placed_r, s = carry
+    kc, kp, ky = jax.random.split(k, 3)
+    center = jax.random.uniform(kc, (2,), minval=-center_range,
+                                maxval=center_range)
+    xy, ok = _find_valid_position(
+        kp, center, jnp.full(2, rng), radius, placed_xy, placed_r, cfg, margin
+    )
+    yaw = jax.random.uniform(ky, (), minval=-180.0, maxval=180.0)
+    placed_xy = placed_xy.at[s].set(xy)
+    placed_r = placed_r.at[s].set(radius)
+    return (placed_xy, placed_r, s + 1), (xy, yaw, ok)
+
+
 def randomize_scene(
     key: Array,
     roster: world_mod.Roster,
@@ -153,26 +170,13 @@ def randomize_scene(
     oks.append(dumper_ok)
 
     # ----- humans (1158-1200) then cones (1202-1222), sequentially -----
-    def place_group(carry, inp, radius, rng, margin, center_range):
-        placed_xy, placed_r, s = carry
-        k = inp
-        kc, kp, ky = jax.random.split(k, 3)
-        center = jax.random.uniform(kc, (2,), minval=-center_range, maxval=center_range)
-        xy, ok = _find_valid_position(
-            kp, center, jnp.full(2, rng), radius, placed_xy, placed_r, cfg, margin
-        )
-        yaw = jax.random.uniform(ky, (), minval=-180.0, maxval=180.0)
-        placed_xy = placed_xy.at[s].set(xy)
-        placed_r = placed_r.at[s].set(radius)
-        return (placed_xy, placed_r, s + 1), (xy, yaw, ok)
-
     human_keys = jax.random.split(keys[4], max(n_humans, 1))
     carry = (placed_xy, placed_r, slot)
     if n_humans > 0:
         carry, (human_xy, human_yaw, human_ok) = jax.lax.scan(
-            lambda c, k: place_group(
+            lambda c, k: _place_group(
                 c, k, jnp.float32(cfg.human_radius), cfg.human_range,
-                jnp.float32(cfg.fence_margin), 7.0,
+                jnp.float32(cfg.fence_margin), 7.0, cfg,
             ),
             carry, human_keys,
         )
@@ -184,12 +188,13 @@ def randomize_scene(
     cone_keys = jax.random.split(keys[5], max(n_cones, 1))
     if n_cones > 0:
         carry, (cone_xy, cone_yaw, cone_ok) = jax.lax.scan(
-            lambda c, k: place_group(
+            lambda c, k: _place_group(
                 c, k, jnp.float32(cfg.cone_radius), cfg.cone_range,
-                jnp.float32(cfg.cone_fence_margin), cfg.cone_center_range,
+                jnp.float32(cfg.cone_fence_margin), cfg.cone_center_range, cfg,
             ),
             (placed_xy, placed_r, slot_v), cone_keys,
         )
+        placed_xy, placed_r, _ = carry
     else:
         cone_xy = jnp.zeros((0, 2)); cone_yaw = jnp.zeros((0,)); cone_ok = jnp.zeros((0,), bool)
 
@@ -247,3 +252,69 @@ def randomize_scene(
         "crane_radius": crane_radius,
     }
     return pose, diag
+
+
+def resample_animated(
+    key: Array,
+    roster: world_mod.Roster,
+    scene_cfg: SceneConfig,
+    cfg: RandomizationConfig,
+    base_pose: world_mod.ScenePose,
+    base_diag: Dict[str, Array],
+) -> world_mod.ScenePose:
+    """Endpoint-B sampler for sequence mode: re-runs ONLY the animated DoF
+    (crane articulation; human placement, yaw and body pose) while keeping
+    the base scene's static layout — and, crucially, collision-checking the
+    re-placed humans against the BASE scene's placed obstacles (crane,
+    dumpers, cones), so interpolated workers never walk through statics that
+    only existed in a discarded endpoint-B layout.
+
+    The crane's collision slot is widened to the larger of the two endpoint
+    articulations' reach, since the boom sweeps between them over the clip.
+    """
+    n_humans = scene_cfg.n_humans
+    keys = jax.random.split(key, 3)
+    joints = jax.random.uniform(
+        keys[0], (3,), minval=kinematics.CRANE_JOINT_LOW,
+        maxval=kinematics.CRANE_JOINT_HIGH)
+
+    positions = base_pose.positions
+    yaw = base_pose.yaw_deg
+    human_joints = base_pose.human_joints
+    if n_humans > 0:
+        placed_xy = base_diag["placed_xy"]
+        placed_r = base_diag["placed_r"]
+        crane_r = jnp.maximum(
+            base_diag["crane_radius"],
+            jnp.maximum(kinematics.crane_reach_xy(joints) * 0.9,
+                        cfg.crane_min_radius))
+        placed_r = placed_r.at[0].set(crane_r)
+        h_slot0 = 1 + scene_cfg.n_dumpers
+        # Deactivate the base humans' slots: they move during the clip, so
+        # endpoint B re-places them (each placement re-activates its slot, so
+        # B humans still avoid each other).
+        placed_r = placed_r.at[h_slot0:h_slot0 + n_humans].set(_INACTIVE_R)
+        human_keys = jax.random.split(keys[1], n_humans)
+        carry = (placed_xy, placed_r, jnp.int32(h_slot0))
+        _, (human_xy, human_yaw, _ok) = jax.lax.scan(
+            lambda c, k: _place_group(
+                c, k, jnp.float32(cfg.human_radius), cfg.human_range,
+                jnp.float32(cfg.fence_margin), 7.0, cfg),
+            carry, human_keys)
+        h0, h1 = roster.human_slice
+        positions = positions.at[h0:h1, :2].set(human_xy)
+        yaw = yaw.at[h0:h1].set(human_yaw)
+        canonical = jnp.asarray(world_mod.assets.CANONICAL_COCO)
+        pose_keys = jax.random.split(keys[2], n_humans)
+        human_joints = jax.vmap(
+            lambda k: kinematics.pose_human_joints(
+                canonical, kinematics.sample_human_pose(k)))(pose_keys)
+
+    return world_mod.ScenePose(
+        crane_pos=base_pose.crane_pos,
+        crane_yaw_deg=base_pose.crane_yaw_deg,
+        crane_joints=joints,
+        positions=positions,
+        yaw_deg=yaw,
+        human_joints=human_joints,
+    )

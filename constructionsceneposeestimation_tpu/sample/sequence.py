@@ -85,13 +85,14 @@ def sample_sequence_endpoints(
     key: Array, roster, scene_cfg: SceneConfig, rand_cfg: RandomizationConfig,
 ) -> Tuple[world_mod.ScenePose, world_mod.ScenePose]:
     """Two endpoint scenes for one clip. Endpoint B re-runs ONLY the animated
-    samplers (crane articulation, human placement/pose) on a folded key; the
-    static layout is endpoint A's."""
+    samplers (crane articulation, human placement/pose) on a folded key — the
+    static layout is endpoint A's, and B's humans are collision-checked
+    against A's placed statics (placement.resample_animated), so workers
+    never interpolate through dumpers/cones/crane."""
     ka, kb = jax.random.split(key)
-    pa, _ = placement.randomize_scene(ka, roster, scene_cfg, rand_cfg,
-                                      articulate_crane=True)
-    pb, _ = placement.randomize_scene(kb, roster, scene_cfg, rand_cfg,
-                                      articulate_crane=True)
+    pa, da = placement.randomize_scene(ka, roster, scene_cfg, rand_cfg,
+                                       articulate_crane=True)
+    pb = placement.resample_animated(kb, roster, scene_cfg, rand_cfg, pa, da)
     return pa, pb
 
 
