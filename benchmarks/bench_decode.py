@@ -19,11 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from constructionsceneposeestimation_tpu.ops import decode, heatmap
-from constructionsceneposeestimation_tpu.scene import assets
 from constructionsceneposeestimation_tpu.utils import profiling
 
 B = 256
-C = assets.NUM_KEYPOINT_CHANNELS
+# Fixed at the round-1/2 comparison shape (the old 83-channel layout) so the
+# numbers stay comparable across rounds; the production channel count dropped
+# to 71 when crane corners became axis keypoints, which would otherwise
+# inflate img/s by ~17% with no code change.
+C = 83
 H = W = 128
 
 

@@ -570,7 +570,9 @@ def evaluate_crop_crane_6dof(
     B = batch.rgb.shape[0]
     if per_part:
         pboxes = batch.bbox2d[:, s0:s0 + 4].astype(jnp.float32)  # (B, 4, 4)
-        cu, cv, half = crop_ops.square_roi(pboxes)  # (B, 4) each
+        # min_half matches crop_loop.crop_batch_crane_parts (degenerate thin
+        # telescopic boxes need joint context in the crop).
+        cu, cv, half = crop_ops.square_roi(pboxes, min_half=24.0)  # (B, 4)
         imgs = jax.vmap(lambda rgb, cs, vs, hs: jax.vmap(
             lambda c1, v1, h1: one(rgb, c1, v1, h1))(cs, vs, hs))(
                 batch.rgb, cu, cv, half)  # (B, 4, c, c, 3)

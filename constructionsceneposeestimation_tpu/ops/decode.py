@@ -56,33 +56,51 @@ def _gaussian_blur_3x3(h: Array) -> Array:
     return k[0] * hp[..., :, :-2] + k[1] * hp[..., :, 1:-1] + k[2] * hp[..., :, 2:]
 
 
-def _dense_dark_offsets(hm: Array, eps: float = 1e-8):
-    """DARK Taylor offsets computed DENSELY per pixel (fused shifted-view
-    arithmetic — no gathers). Returns (off_x, off_y, ok) maps; ``ok`` is
-    false at borders and non-maxima, where refinement must be skipped."""
+def _extract_neighborhoods(hm: Array, py: Array, px: Array, radius: int = 1):
+    """Gather-free (2r+1)x(2r+1) neighborhood extraction at per-(batch,
+    channel[, peak]) integer coordinates.
+
+    TPU design: per-(batch, channel) dynamic indexing lowers to the scalar
+    gather path (~7x the whole decode; CLAUDE.md anti-patterns). Instead build
+    clamped one-hot ROW and COLUMN selector matrices and contract them against
+    the map with two einsums — the full map is read ONCE (row einsum), the
+    column einsum runs on the tiny (..., 2r+1, W) row strip. Clamping the
+    selector indices to [0, H-1]/[0, W-1] reproduces edge padding exactly.
+
+    hm (..., H, W); py/px (..., P) int32 -> (..., P, 2r+1, 2r+1) values,
+    neighbor layout [dy, dx] with the center at [r, r].
+    """
     *_, H, W = hm.shape
-    pad = [(0, 0)] * (hm.ndim - 2)
-    lp = jnp.pad(jnp.log(jnp.maximum(hm, eps)),
-                 pad + [(1, 1), (1, 1)], mode="edge")
+    off = jnp.arange(-radius, radius + 1, dtype=py.dtype)
+    ry = jnp.clip(py[..., None] + off, 0, H - 1)  # (..., P, 2r+1)
+    rx = jnp.clip(px[..., None] + off, 0, W - 1)
+    Sy = (ry[..., None] == jnp.arange(H, dtype=py.dtype)).astype(hm.dtype)
+    rows = jnp.einsum("...prh,...hw->...prw", Sy, hm)  # (..., P, 2r+1, W)
+    Sx = (rx[..., None] == jnp.arange(W, dtype=px.dtype)).astype(hm.dtype)
+    # (..., P, n[dx], W) x (..., P, n[dy], W) -> (..., P, n[dy], n[dx])
+    return jnp.einsum("...pcw,...prw->...prc", Sx, rows)
 
-    def v(dy, dx):
-        return lp[..., 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
 
-    dx_ = 0.5 * (v(0, 1) - v(0, -1))
-    dy_ = 0.5 * (v(1, 0) - v(-1, 0))
-    dxx = v(0, 1) - 2.0 * v(0, 0) + v(0, -1)
-    dyy = v(1, 0) - 2.0 * v(0, 0) + v(-1, 0)
-    dxy = 0.25 * (v(1, 1) - v(1, -1) - v(-1, 1) + v(-1, -1))
+def _dark_refine(nb: Array, py: Array, px: Array, H: int, W: int,
+                 eps: float = 1e-8):
+    """DARK Taylor refinement from extracted 3x3 neighborhoods (..., P, 3, 3)
+    of the blurred heatmap: mu = peak - Hess^{-1} grad on the log surface.
+    Returns (off_x, off_y) with the refinement zeroed at borders, non-maxima
+    curvature, and super-pixel offsets."""
+    ln = jnp.log(jnp.maximum(nb, eps))
+    dx = 0.5 * (ln[..., 1, 2] - ln[..., 1, 0])
+    dy = 0.5 * (ln[..., 2, 1] - ln[..., 0, 1])
+    dxx = ln[..., 1, 2] - 2.0 * ln[..., 1, 1] + ln[..., 1, 0]
+    dyy = ln[..., 2, 1] - 2.0 * ln[..., 1, 1] + ln[..., 0, 1]
+    dxy = 0.25 * (ln[..., 2, 2] - ln[..., 2, 0] - ln[..., 0, 2] + ln[..., 0, 0])
     det = dxx * dyy - dxy * dxy
     det_safe = jnp.where(jnp.abs(det) < eps, jnp.sign(det) * eps + eps, det)
-    off_x = -(dyy * dx_ - dxy * dy_) / det_safe
-    off_y = -(dxx * dy_ - dxy * dx_) / det_safe
+    off_x = -(dyy * dx - dxy * dy) / det_safe
+    off_y = -(dxx * dy - dxy * dx) / det_safe
+    interior = (px > 0) & (px < W - 1) & (py > 0) & (py < H - 1)
     sane = (dxx < 0) & (dyy < 0) & (jnp.abs(off_x) < 1.0) & (jnp.abs(off_y) < 1.0)
-    ux = jnp.arange(W)[None, :]
-    uy = jnp.arange(H)[:, None]
-    interior = (ux > 0) & (ux < W - 1) & (uy > 0) & (uy < H - 1)
-    ok = sane & interior
-    return off_x, off_y, ok
+    ok = interior & sane
+    return jnp.where(ok, off_x, 0.0), jnp.where(ok, off_y, 0.0)
 
 
 def _topk_iterative(flat: Array, k: int):
@@ -102,63 +120,125 @@ def _topk_iterative(flat: Array, k: int):
     return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
+def _topk_peaks_rows(peak: Array, k: int):
+    """Exact top-k over (..., H, W) maps of NMS'd peaks via row factorization.
+
+    One full-map reduction maintains the per-row max vector; each round then
+    costs an H-wide argmax plus ONE full-map read (one-hot row extraction via
+    einsum — no gather), with previously-taken entries suppressed in the
+    extracted W-vector and the row-max entry updated in place. k full-map
+    reads total, vs 2k full-map reduction+suppress passes for the flat
+    iterative top-k. Only for non-negative inputs (suppression writes 0).
+
+    Returns (vals (..., k), py (..., k), px (..., k)), score-descending.
+    """
+    *_, H, W = peak.shape
+    row_max = jnp.max(peak, -1)  # (..., H)
+    iota_h = jnp.arange(H, dtype=jnp.int32)
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    taken_r, taken_c = [], []
+    vals, pys, pxs = [], [], []
+    for _ in range(k):
+        r = jnp.argmax(row_max, -1).astype(jnp.int32)  # (...,)
+        sel = (iota_h == r[..., None]).astype(peak.dtype)
+        row = jnp.einsum("...h,...hw->...w", sel, peak)  # (..., W)
+        # The winning row is re-extracted from the ORIGINAL map: zero out any
+        # previously-taken entry that lives in this row.
+        for rj, cj in zip(taken_r, taken_c):
+            row = jnp.where((rj == r)[..., None] & (iota_w == cj[..., None]),
+                            0.0, row)
+        c = jnp.argmax(row, -1).astype(jnp.int32)
+        v = jnp.max(row, -1)
+        remaining = jnp.max(jnp.where(iota_w == c[..., None], 0.0, row), -1)
+        row_max = jnp.where(iota_h == r[..., None], remaining[..., None],
+                            row_max)
+        taken_r.append(r); taken_c.append(c)
+        vals.append(v); pys.append(r); pxs.append(c)
+    return (jnp.stack(vals, -1), jnp.stack(pys, -1), jnp.stack(pxs, -1))
+
+
+def _topk_peaks_blocks(peak: Array, k: int):
+    """Top-k over (..., H, W) NMS'd peak maps via 2x2 block reduction.
+
+    After 3x3 NMS (``hm >= maxpool3(hm)``) two peaks inside one 2x2 block
+    would be 8-neighbors of each other, so both survive only on an exact
+    value TIE — generically each block holds at most ONE peak and block-max
+    reduction is lossless (a tied duplicate is dropped; its twin keeps the
+    identical score). The 2-bit sub-position rides the low mantissa of the
+    block max (<= 2^-21 relative score perturbation), and the k selection
+    rounds then run on the 16x smaller packed map via _topk_peaks_rows:
+    per-round HBM cost drops from one full-map read to one block-map read.
+    Only for non-negative inputs.
+
+    Returns (vals (..., k), py (..., k), px (..., k)), score-descending.
+    """
+    *lead, H, W = peak.shape
+    p4 = peak.reshape(tuple(lead) + (H // 2, 2, W // 2, 2))
+    p4 = jnp.moveaxis(p4, -3, -2)  # (..., H/2, W/2, 2[dy], 2[dx])
+    p4 = p4.reshape(tuple(lead) + (H // 2, W // 2, 4))
+    bits = jax.lax.bitcast_convert_type(p4, jnp.int32)
+    sub = jnp.arange(4, dtype=jnp.int32)  # payload: dy*2 + dx
+    packed = jax.lax.bitcast_convert_type(
+        jnp.bitwise_or(jnp.bitwise_and(bits, ~3), sub), jnp.float32)
+    blk = jnp.max(packed, -1)  # (..., H/2, W/2)
+    pv, by, bx = _topk_peaks_rows(blk, k)
+    tbits = jax.lax.bitcast_convert_type(pv, jnp.int32)
+    scores = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(tbits, ~3), jnp.float32)
+    sub = jnp.bitwise_and(tbits, 3)
+    py = by * 2 + (sub >> 1)
+    px = bx * 2 + jnp.bitwise_and(sub, 1)
+    return scores, py, px
+
+
 def extract_peaks(heatmaps: Array, max_peaks: int = 8, blur: bool = True,
-                  eps: float = 1e-8):
+                  eps: float = 1e-8, use_pallas: bool | None = None):
     """Multi-instance decoding: top-K 3x3 local maxima per channel with DARK
     sub-pixel refinement.
 
     Class-level channels carry one blob PER INSTANCE (e.g. 20 fence panels);
     single-argmax decoding recovers only the strongest. Returns
     (uv (..., C, K, 2), scores (..., C, K)) sorted by score descending.
+
+    ``use_pallas=None`` auto-dispatches to the fused single-HBM-read Pallas
+    kernel (ops/peak_kernel.py — measured 3.4k -> 8.2k img/s at
+    (256, 83, 128, 128)) on TPU with lane/sublane-aligned maps, else runs the
+    pure-XLA pipeline below.
+
+    XLA-path TPU design: no gather anywhere — peak selection via the
+    2x2-block-packed row-factorized top-k (_topk_peaks_blocks), DARK
+    neighborhoods via clamped one-hot selector einsums
+    (_extract_neighborhoods). Scores are the RAW peak amplitude (what
+    thresholds are calibrated on); the blur only steers peak detection and
+    the log-derivatives.
     """
     *_, H, W = heatmaps.shape
-    # The suppress-to-0 top-k and the mantissa packing require non-negative
-    # inputs; raw mse-trained network outputs can dip below zero.
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and W % 128 == 0 and H % 8 == 0)
+    if use_pallas:
+        from . import peak_kernel  # local import: keeps CPU paths pallas-free
+        return peak_kernel.extract_peaks_pallas(
+            heatmaps, max_peaks=max_peaks, blur=blur, eps=eps)
+    # Suppress-to-0 top-k requires non-negative inputs; raw mse-trained
+    # network outputs can dip below zero.
     heatmaps = jnp.maximum(heatmaps, 0.0)
     if blur:
         hm = _gaussian_blur_3x3(heatmaps)
-        scale = jnp.max(heatmaps, (-1, -2), keepdims=True) / (
-            jnp.max(hm, (-1, -2), keepdims=True) + eps)
-        hm = hm * scale
     else:
         hm = heatmaps
     # 3x3 max-pool via two separable 3-taps (edge-padded).
-    mp = hm
     pad = [(0, 0)] * (hm.ndim - 2)
-    mp = jnp.pad(mp, pad + [(1, 1), (0, 0)], mode="edge")
+    mp = jnp.pad(hm, pad + [(1, 1), (0, 0)], mode="edge")
     mp = jnp.maximum(jnp.maximum(mp[..., :-2, :], mp[..., 1:-1, :]), mp[..., 2:, :])
     mp = jnp.pad(mp, pad + [(0, 0), (1, 1)], mode="edge")
     mp = jnp.maximum(jnp.maximum(mp[..., :, :-2], mp[..., :, 1:-1]), mp[..., :, 2:])
-    is_peak = hm >= mp
+    peak = jnp.where(hm >= mp, heatmaps, 0.0)
 
-    # TPU design: per-(batch, channel, k) gathers of the 3x3 log neighborhood
-    # cost ~7x everything else (scalar gather path). Instead the DARK offsets
-    # are computed DENSELY (shifted-view arithmetic, fully fused), quantized
-    # to 5+5 bits, and PACKED into the low mantissa of the peak score before
-    # ``top_k`` — the same mantissa-payload trick as the ray sweep
-    # (render/raycast._pack). One top_k then yields position, score, and
-    # offset together: no gather anywhere. Offset resolution 2/31 px (~16x
-    # finer than the PCK tolerance); score perturbation <= 2^-13 relative.
-    off_x, off_y, ok = _dense_dark_offsets(hm, eps)
-    qx = jnp.clip(jnp.round(off_x * 16.0) + 16, 0, 31).astype(jnp.int32)
-    qy = jnp.clip(jnp.round(off_y * 16.0) + 16, 0, 31).astype(jnp.int32)
-    code = jnp.where(ok, (qx << 5) | qy, (16 << 5) | 16)  # 16 == offset 0.0
-
-    peak_score = jnp.where(is_peak, hm, 0.0)
-    bits = jax.lax.bitcast_convert_type(peak_score, jnp.int32)
-    packed = jax.lax.bitcast_convert_type(
-        jnp.bitwise_or(jnp.bitwise_and(bits, ~1023), code), jnp.float32)
-    flat = packed.reshape(hm.shape[:-2] + (H * W,))
-    top, idx = _topk_iterative(flat, max_peaks)
-    tbits = jax.lax.bitcast_convert_type(top, jnp.int32)
-    scores = jax.lax.bitcast_convert_type(
-        jnp.bitwise_and(tbits, ~1023), jnp.float32)
-    tcode = jnp.bitwise_and(tbits, 1023)
-    off_xq = ((tcode >> 5) - 16).astype(jnp.float32) / 16.0
-    off_yq = (jnp.bitwise_and(tcode, 31) - 16).astype(jnp.float32) / 16.0
-    py = (idx // W).astype(jnp.float32)
-    px = (idx % W).astype(jnp.float32)
-    uv = jnp.stack([px + off_xq, py + off_yq], -1)
+    scores, py, px = _topk_peaks_blocks(peak, max_peaks)
+    nb = _extract_neighborhoods(hm, py, px)  # (..., K, 3, 3) blurred values
+    off_x, off_y = _dark_refine(nb, py, px, H, W, eps)
+    uv = jnp.stack([px + off_x, py + off_y], -1)
     return uv, scores
 
 
@@ -207,7 +287,12 @@ def associate_peaks(
 
 def dark_decode(heatmaps: Array, blur: bool = True, eps: float = 1e-8):
     """(..., C, H, W) -> (uv (..., C, 2), score (..., C)) with DARK sub-pixel
-    refinement. Peaks at the border skip refinement (offset clamped to 0)."""
+    refinement. Peaks at the border skip refinement (offset clamped to 0).
+
+    TPU design: the peak's 3x3 log neighborhood comes from clamped one-hot
+    selector einsums (_extract_neighborhoods) — ONE full-map read instead of
+    the nine one-hot mask reductions of the previous design (measured 4.7k ->
+    12k+ img/s at (256, C, 128, 128)) and no scalar gather anywhere."""
     *_, H, W = heatmaps.shape
     if blur:
         hm = _gaussian_blur_3x3(heatmaps)
@@ -217,46 +302,12 @@ def dark_decode(heatmaps: Array, blur: bool = True, eps: float = 1e-8):
     idx = jnp.argmax(flat, -1)
     # Score = UN-blurred peak amplitude (what thresholds are calibrated on).
     # The blur only steers argmax + log-derivatives, both of which are
-    # invariant to per-channel scaling — so no renormalization pass is needed
-    # (it used to cost two extra full-map max reductions).
+    # invariant to per-channel scaling — so no renormalization pass is needed.
     score = jnp.max(heatmaps.reshape(flat.shape), -1)
     py = idx // W
     px = idx % W
 
-    # TPU note: gathers with per-(batch, channel) indices (take_along_axis)
-    # lower to a scalar gather path that costs ~7x the whole decode. The
-    # peak's 3x3 log neighborhood is read instead with ONE-HOT MASK
-    # REDUCTIONS over statically-shifted views of the edge-padded map: nine
-    # fused multiply-reduce passes, no gather anywhere, and the Taylor math
-    # runs only on the 9 extracted scalars per channel (computing offsets
-    # densely and masking costs MORE — per-pixel log-Hessian divisions over
-    # the full map beat the extra reductions; measured 4.0k vs 4.7k img/s).
-    logh = jnp.log(jnp.maximum(hm, eps))
-    lp = jnp.pad(logh, [(0, 0)] * (logh.ndim - 2) + [(1, 1), (1, 1)],
-                 mode="edge")
-    onehot = (jnp.arange(H * W, dtype=idx.dtype) == idx[..., None]).astype(
-        logh.dtype)
-
-    def sample(dy, dx):
-        v = lp[..., 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
-        return jnp.sum(v.reshape(flat.shape) * onehot, -1)
-
-    dx = 0.5 * (sample(0, 1) - sample(0, -1))
-    dy = 0.5 * (sample(1, 0) - sample(-1, 0))
-    dxx = sample(0, 1) - 2.0 * sample(0, 0) + sample(0, -1)
-    dyy = sample(1, 0) - 2.0 * sample(0, 0) + sample(-1, 0)
-    dxy = 0.25 * (sample(1, 1) - sample(1, -1) - sample(-1, 1) + sample(-1, -1))
-
-    det = dxx * dyy - dxy * dxy
-    det_safe = jnp.where(jnp.abs(det) < eps, jnp.sign(det) * eps + eps, det)
-    off_x = -(dyy * dx - dxy * dy) / det_safe
-    off_y = -(dxx * dy - dxy * dx) / det_safe
-    # Only trust refinement when the peak is interior, curvature is negative
-    # (a real maximum), and the offset is sub-pixel.
-    interior = (px > 0) & (px < W - 1) & (py > 0) & (py < H - 1)
-    sane = (dxx < 0) & (dyy < 0) & (jnp.abs(off_x) < 1.0) & (jnp.abs(off_y) < 1.0)
-    ok = interior & sane
-    off_x = jnp.where(ok, off_x, 0.0)
-    off_y = jnp.where(ok, off_y, 0.0)
+    nb = _extract_neighborhoods(hm, py[..., None], px[..., None])[..., 0, :, :]
+    off_x, off_y = _dark_refine(nb, py, px, H, W, eps)
     uv = jnp.stack([px + off_x, py + off_y], -1)
     return uv, score

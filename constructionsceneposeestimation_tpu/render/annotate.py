@@ -209,11 +209,23 @@ def render_frame(
         & jnp.asarray(roster.inst_kpt_valid)
     )
     # Occluded iff the first surface along the segment is FOREIGN and closer
-    # than the keypoint. A first-hit on the owning instance means the keypoint
-    # sits on (or behind) its own surface — not occluded by others.
+    # than the keypoint. A first-hit inside the keypoint's own OCCLUSION GROUP
+    # (its own surface, or a nested sibling crane part — axis keypoints sit
+    # inside the geometry) counts as the keypoint's own visible surface — but
+    # ONLY when that surface lies within ``group_surface_tol`` metres of the
+    # keypoint along the ray. The proximity gate separates "axis point just
+    # under its own/nested skin" (hit <= part thickness away) from "a distant
+    # sibling part blocks the view" (e.g. the column in front of the far boom
+    # end), which is a real occlusion and must not be supervised as visible.
+    group_surface_tol = 0.5
     own = jnp.repeat(jnp.arange(O, dtype=jnp.int32), K)
+    grp = jnp.asarray(roster.inst_occlusion_group)
     beyond = t_occ > (1.0 - kpt_occlusion_tol)
-    own_first = occ_inst == own
+    occ_grp = jnp.where(occ_inst >= 0,
+                        jnp.take(grp, jnp.clip(occ_inst, 0, O - 1)), -1)
+    hit_to_kpt = (1.0 - t_occ) * z.reshape(-1)
+    own_first = (occ_grp == jnp.take(grp, own)) & (
+        hit_to_kpt <= group_surface_tol)
     not_occluded = (beyond | own_first).reshape(O, K)
     kpt_visible = in_img & not_occluded
 

@@ -167,30 +167,66 @@ def fence_template() -> ClassTemplate:
 
 
 def cranebase_template() -> ClassTemplate:
+    # Axis keypoints, not corners: the base proxy box is 180-degree yaw
+    # symmetric, so corner IDENTITIES are unlearnable from appearance —
+    # measured median 24-48 crop-px error at score ~0.45 on two corners,
+    # which passed the solve's score gate and dragged the FK pose meters
+    # off. Axis points are symmetry-invariant; the base only needs to anchor
+    # XY (yaw/pitch observability comes from boom/telescopic via the chain).
     aabb = ([-1.1, -0.5, 0.0], [1.1, 0.5, 0.5])
-    kpts, names = _aabb_corner_keypoints(*aabb)
+    kpts, names = _axis_keypoints([0, 0, 0], [0, 0, 0.5], 3, "base")
     prims = [(BOX, [0.0, 0.0, 0.25], None, [1.1, 0.5, 0.25])]
     return _template("cranebase", 6, prims, kpts, names, aabb, [0.85, 0.12, 0.10])
 
 
+def _axis_keypoints(p0, p1, n: int, prefix: str):
+    """``n`` evenly spaced points on the segment p0 -> p1 (part AXIS points).
+
+    Articulated revolution-style parts (column, boom, telescopic) use axis
+    points instead of box corners: a square-section column's four corners are
+    interchangeable under its own yaw symmetry, so a heatmap net cannot learn
+    their identities (measured crop-stage column ADD-0.1d 0.32 with corners).
+    Axis points are symmetry-invariant, and the FK-constrained joint solve
+    (ops/pnp.solve_crane_pose) needs no per-part yaw observability — column
+    yaw comes from the boom direction through the kinematic chain."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    ts = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    pts = p0[None, :] + ts[:, None] * (p1 - p0)[None, :]
+    names = tuple(f"{prefix}_axis_{i}" for i in range(n))
+    return pts, names
+
+
 def cranecolumn_template() -> ClassTemplate:
     aabb = ([-0.3, -0.3, 0.0], [0.3, 0.3, 1.5])
-    kpts, names = _aabb_corner_keypoints(*aabb)
+    kpts, names = _axis_keypoints([0, 0, 0], [0, 0, 1.5], 5, "col")
     prims = [(BOX, [0.0, 0.0, 0.75], None, [0.3, 0.3, 0.75])]
     return _template("cranecolumn", 7, prims, kpts, names, aabb, [0.85, 0.15, 0.10])
 
 
 def craneboom_template() -> ClassTemplate:
-    # Boom extends along local +X from its pivot at the origin.
+    # Boom extends along local +X from its pivot at the origin. Axis points
+    # plus TOP/BOTTOM surface points at root and tip: z-offset points carry no
+    # symmetry ambiguity (up is unambiguous from the pitched pose/shading) and
+    # restore solver conditioning that pure collinear axis points lose
+    # (measured GT-floor ADD-0.1d 0.63 axis-only vs 0.95 with cross points).
     aabb = ([0.0, -0.15, -0.15], [4.0, 0.15, 0.15])
-    kpts, names = _aabb_corner_keypoints(*aabb)
+    ax, ax_names = _axis_keypoints([0, 0, 0], [4.0, 0, 0], 3, "boom")
+    cross = np.array([[0.0, 0.0, 0.15], [0.0, 0.0, -0.15],
+                      [4.0, 0.0, 0.15], [4.0, 0.0, -0.15]], np.float32)
+    kpts = np.concatenate([ax, cross])
+    names = ax_names + ("boom_root_top", "boom_root_bottom",
+                        "boom_tip_top", "boom_tip_bottom")
     prims = [(BOX, [2.0, 0.0, 0.0], None, [2.0, 0.15, 0.15])]
     return _template("craneboom", 8, prims, kpts, names, aabb, [0.90, 0.18, 0.08])
 
 
 def cranetelescopic_template() -> ClassTemplate:
     aabb = ([0.0, -0.10, -0.10], [3.0, 0.10, 0.10])
-    kpts, names = _aabb_corner_keypoints(*aabb)
+    ax, ax_names = _axis_keypoints([0, 0, 0], [3.0, 0, 0], 3, "tele")
+    cross = np.array([[3.0, 0.0, 0.10], [3.0, 0.0, -0.10]], np.float32)
+    kpts = np.concatenate([ax, cross])
+    names = ax_names + ("tele_tip_top", "tele_tip_bottom")
     prims = [(BOX, [1.5, 0.0, 0.0], None, [1.5, 0.10, 0.10])]
     return _template("cranetelescopic", 9, prims, kpts, names, aabb, [0.95, 0.25, 0.05])
 

@@ -38,6 +38,10 @@ class Roster:
     inst_kpts: np.ndarray  # (O, K_max, 3) local, zero-padded
     inst_kpt_valid: np.ndarray  # (O, K_max) bool
     inst_kpt_channel: np.ndarray  # (O, K_max) int32 heatmap channel (-1 pad)
+    # Occlusion family: keypoints first-hit by geometry of the SAME group are
+    # "own surface", not occluded. Crane parts share one group — part axis
+    # points sit inside nested sibling geometry (telescopic inside the boom).
+    inst_occlusion_group: np.ndarray  # (O,) int32
     # Primitive tables, P = total primitives (ground plane last, inst = -1).
     prim_kind: np.ndarray  # (P,)
     prim_offset: np.ndarray  # (P, 3)
@@ -131,6 +135,9 @@ def make_roster(cfg: SceneConfig = SceneConfig()) -> Roster:
         prim_params.append(t.prim_params)
         prim_inst.append(np.full(t.num_prims, o, np.int32))
 
+    occl_group = np.arange(O, dtype=np.int32)
+    occl_group[crane_slice[0]:crane_slice[1]] = crane_slice[0]
+
     g = assets.ground_template()
     prim_kind.append(g.prim_kind)
     prim_offset.append(g.prim_offset)
@@ -148,6 +155,7 @@ def make_roster(cfg: SceneConfig = SceneConfig()) -> Roster:
         inst_kpts=inst_kpts,
         inst_kpt_valid=inst_kpt_valid,
         inst_kpt_channel=inst_kpt_channel,
+        inst_occlusion_group=occl_group,
         prim_kind=np.concatenate(prim_kind),
         prim_offset=np.concatenate(prim_offset).astype(np.float32),
         prim_rot=np.concatenate(prim_rot).astype(np.float32),

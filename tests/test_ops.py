@@ -265,3 +265,54 @@ def test_preprocess_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     out3 = preprocess.preprocess_frame(jax.random.PRNGKey(1), rgb, 32, 48)
     assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+
+def test_extract_peaks_pallas_matches_xla():
+    """The fused Pallas peak kernel (ops/peak_kernel.py) must reproduce the
+    XLA pipeline: same scores, same sub-pixel uv, for clean blobs AND noisy
+    maps with negative values (interpreter mode on CPU)."""
+    from constructionsceneposeestimation_tpu.ops import peak_kernel
+
+    rng = np.random.RandomState(3)
+    n, C, H, W = 3, 5, 64, 128
+    uv = jnp.asarray(rng.uniform(0, 500, (n * C // 2, 2)).astype(np.float32))
+    ch = jnp.asarray(rng.randint(0, C, len(uv)), jnp.int32)
+    vis = jnp.ones(len(uv), bool)
+    base = heatmap.render_heatmaps(uv, ch, vis, C, H, W, 2.0, stride=4.0)
+    hms = jnp.stack([base * s for s in (1.0, 0.7, 0.4)])
+    hms = hms + 0.02 * jnp.asarray(rng.randn(*hms.shape).astype(np.float32))
+
+    uv_x, sc_x = decode.extract_peaks(hms, max_peaks=6, use_pallas=False)
+    uv_p, sc_p = peak_kernel.extract_peaks_pallas(hms, max_peaks=6,
+                                                  interpret=True)
+    # Equal-score ties may reorder between implementations: compare the
+    # thresholded peak SETS per channel.
+    for b in range(3):
+        for c in range(C):
+            ref = sorted((round(float(s), 4), round(float(u), 2),
+                          round(float(v), 2))
+                         for (u, v), s in zip(np.asarray(uv_x[b, c]),
+                                              np.asarray(sc_x[b, c]))
+                         if s > 0.05)
+            got = sorted((round(float(s), 4), round(float(u), 2),
+                          round(float(v), 2))
+                         for (u, v), s in zip(np.asarray(uv_p[b, c]),
+                                              np.asarray(sc_p[b, c]))
+                         if s > 0.05)
+            assert ref == got, (b, c, ref, got)
+
+
+def test_extract_peaks_pallas_padding_and_leading_dims():
+    """N not divisible by block_maps + arbitrary leading dims."""
+    from constructionsceneposeestimation_tpu.ops import peak_kernel
+
+    uv = jnp.asarray([[20.3, 10.6], [50.8, 25.2]])
+    hm = heatmap.render_heatmaps(uv, jnp.asarray([0, 0], jnp.int32),
+                                 jnp.asarray([True, True]), 3, 40, 128,
+                                 sigma=2.0)
+    pk, sc = peak_kernel.extract_peaks_pallas(hm, max_peaks=4, block_maps=8,
+                                              interpret=True)
+    assert pk.shape == (3, 4, 2) and sc.shape == (3, 4)
+    strong = np.asarray(pk[0])[np.asarray(sc[0]) > 0.5]
+    d = np.linalg.norm(strong[:, None] - np.asarray(uv)[None], axis=-1)
+    assert d.min(axis=0).max() < 0.15
