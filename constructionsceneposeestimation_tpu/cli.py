@@ -181,6 +181,26 @@ def cmd_train_eval(args) -> None:
     print(f"assoc decode floor:   {float(afloor['pck']):.3f}  "
           f"model assoc PCK@0.5: {float(apck['pck']):.3f} "
           f"(recall {float(apck['recall']):.3f})")
+    # Human (BASELINE config 3): 17-kpt COCO PCK on the worker's own
+    # channels, soft-argmax and DARK (reference worker handling:
+    # generate_construction_data.py:1158-1200).
+    from .scene import assets as assets_mod
+    for tag, dark in (("DARK", True), ("soft-argmax", False)):
+        hfloor = eval_pipeline.evaluate_human_pck(
+            batch, pipe.roster, stride, use_dark=dark)
+        hpck = eval_pipeline.evaluate_human_pck(
+            batch, pipe.roster, stride, heatmaps=hm_pred, use_dark=dark)
+        print(f"human PCK@0.5 ({tag}):  floor {float(hfloor['pck']):.3f}  "
+              f"model {float(hpck['pck']):.3f} "
+              f"(n={int(hpck['n_keypoints'])}, "
+              f"err {float(hpck['mean_px_error']):.2f} px)")
+        if dark:
+            per = hpck["pck_per_kpt"]
+            worst = sorted(
+                zip(assets_mod.COCO_KEYPOINT_NAMES,
+                    [float(v) for v in per[:17]]), key=lambda x: x[1])[:4]
+            print("  weakest joints: "
+                  + " ".join(f"{n}={v:.2f}" for n, v in worst))
     # Dumper-channel diagnostics: what the model actually scores its corners.
     sl = pose_net.class_channel_slices()["dumper"]
     d_scores = jnp.max(hm_pred[:, sl[0]:sl[1]], axis=(-1, -2))
@@ -308,7 +328,9 @@ def cmd_train_detect(args) -> None:
     from .parallel import pipeline as pipeline_mod
     from .train import detect_loop
 
+    from .config import SceneConfig
     cfg = Config(
+        scene=SceneConfig(n_dumpers=getattr(args, "n_dumpers", 1)),
         pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
         train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1),
                           loss="focal",
@@ -352,8 +374,14 @@ def cmd_train_detect(args) -> None:
     per_cls = " ".join(
         f"{c}={float(det[f'precision_{c}']):.2f}/{float(det[f'recall_{c}']):.2f}"
         for c in ("dumper", "crane", "human", "trafficcone"))
+    from .ops import detect as detect_ops
+    parts_pr = " ".join(
+        f"{c.replace('crane', '')}={float(det[f'precision_{c}']):.2f}/"
+        f"{float(det[f'recall_{c}']):.2f}"
+        for c in detect_ops.CRANE_PART_CLASSES)
     print(f"detector P/R @IoU0.5: {float(det['precision']):.3f}/"
           f"{float(det['recall']):.3f}  [{per_cls}]")
+    print(f"  crane parts P/R: [{parts_pr}]  mAP@0.5 {float(det['map']):.3f}")
 
     if args.crop_ckpt:
         from .train import checkpoint, crop_loop
@@ -370,13 +398,54 @@ def cmd_train_detect(args) -> None:
               f"ADD mean {float(out['add_mean']):.3f} m, "
               f"ADD-0.1d {float(out['add_0_1d']):.3f} "
               f"(accepted {int(out['n_accepted'])}/{int(out['n_valid'])})")
+        if getattr(args, "n_dumpers", 1) > 1:
+            from .ops import detect as det_ops
+            di = det_ops.DET_CLASSES.index("dumper")
+            mout = eval_pipeline.evaluate_crop_6dof_multi(
+                batch, pipe.roster, pipe.intr, crop_model, crop_state.params,
+                "dumper", args.crop,
+                boxes=det["boxes"][:, di], box_scores=det["scores"][:, di])
+            print(f"FULL two-stage multi-dumper 6DoF (detector boxes, "
+                  f"{args.n_dumpers} instances): "
+                  f"ADD mean {float(mout['add_mean']):.3f} m, "
+                  f"ADD-0.1d {float(mout['add_0_1d']):.3f} "
+                  f"(accepted {int(mout['n_accepted'])}/"
+                  f"{int(mout['n_detectable'])} detectable)")
+
+    if getattr(args, "crane_crop_ckpt", None):
+        from .train import checkpoint, crop_loop
+        crane_model = crop_loop.make_crop_model("crane", roster=pipe.roster)
+        crane_state = crop_loop.create_crop_train_state(
+            cfg, crane_model, jax.random.PRNGKey(0), args.crop)
+        cmgr = checkpoint.CheckpointManager(args.crane_crop_ckpt, save_every=0)
+        crane_state = cmgr.restore(crane_state)
+        cmgr.close()
+        pb, ps = eval_pipeline.best_part_boxes(det["boxes"], det["scores"])
+        cout = eval_pipeline.evaluate_crop_crane_6dof(
+            batch, pipe.roster, pipe.intr, crane_model, crane_state.params,
+            args.crop, per_part=True, part_boxes=pb, part_scores=ps)
+        parts = " ".join(
+            f"{p.replace('crane', '')}={float(cout[f'add_0_1d_{p}']):.2f}"
+            for p in ("cranebase", "cranecolumn", "craneboom",
+                      "cranetelescopic"))
+        print(f"FULL two-stage crane 6DoF (detector part boxes): "
+              f"ADD mean {float(cout['add_mean']):.3f} m, "
+              f"ADD-0.1d {float(cout['add_0_1d']):.3f} [{parts}] "
+              f"(accepted {int(cout['n_accepted'])}/{int(cout['n_valid'])})")
 
 
 def cmd_infer(args) -> None:
     """Serving path: detector -> ROI crops -> keypoints -> ground-prior solve,
     on freshly generated frames (or any (B,H,W,3) uint8 stream), emitting one
-    pose record per frame to ``--out`` as JSON lines. No labels are consumed
-    anywhere — this is the deployment inference loop."""
+    record per frame to ``--out`` as JSON lines. No labels are consumed
+    anywhere — this is the deployment inference loop.
+
+    Every above-threshold detection of every class is emitted. Dumper
+    detections each get their own crop + ground-prior 6DoF solve
+    (multi-instance); with ``--crane-crop-ckpt`` the four detected crane part
+    boxes feed per-part crops and the FK-constrained joint solve
+    (ops/pnp.solve_crane_pose), emitting per-part poses. Other classes
+    (human/cone/tree/fence) are emitted as plain detections."""
     import json as json_mod
 
     from .config import Config, PipelineConfig
@@ -403,75 +472,138 @@ def cmd_infer(args) -> None:
         cfg, crop_model, jax.random.PRNGKey(0), args.crop)
     m = checkpoint.CheckpointManager(args.crop_ckpt, save_every=0)
     crop_state = m.restore(crop_state); m.close()
+    crane_model = crane_params = None
+    if args.crane_crop_ckpt:
+        crane_model = crop_loop.make_crop_model("crane", roster=pipe.roster)
+        crane_state = crop_loop.create_crop_train_state(
+            cfg, crane_model, jax.random.PRNGKey(0), args.crop)
+        m = checkpoint.CheckpointManager(args.crane_crop_ckpt, save_every=0)
+        crane_state = m.restore(crane_state); m.close()
+        crane_params = crane_state.params
 
     tpl = assets.all_templates()["dumper"]
     model_pts = jnp.asarray(tpl.keypoints)
     intr = pipe.intr
+    max_det = args.max_det
 
     def infer(rgb, camera_pose7):
-        """(B, H, W, 3) uint8 + camera extrinsics -> dumper poses."""
+        """(B, H, W, 3) uint8 + camera extrinsics -> all detections + poses."""
         imgs = jax.vmap(lambda r: preprocess.normalize(
             r.astype(jnp.float32) / 255.0))(rgb)
         pred = pose_net.forward(det_model, det_state.params, imgs)
         stride = getattr(det_model, "output_stride", 4)
         boxes, scores = jax.vmap(lambda p: det_ops.decode_detections(
-            p, float(stride), 8))(pred)
-        di = det_ops.DET_CLASSES.index("dumper")
-        best = jnp.argmax(scores[:, di], axis=-1)
-        box = jnp.take_along_axis(boxes[:, di], best[:, None, None], axis=1)[:, 0]
-        det_score = jnp.take_along_axis(scores[:, di], best[:, None], axis=1)[:, 0]
+            p, float(stride), max_det))(pred)  # (B, C, D, 4), (B, C, D)
+        R_wp = rotation.matrix_from_quat_xyzw(camera_pose7[..., 3:])
+        cam = camera_pose7[..., :3]
+        B = rgb.shape[0]
 
-        cu, cv, half = crop_ops.square_roi(box)
-        crops = jax.vmap(lambda r, c1, v1, h1: preprocess.normalize(
-            crop_ops.crop_resize(r.astype(jnp.float32) / 255.0, c1, v1, h1,
-                                 args.crop)))(rgb, cu, cv, half)
+        # Dumper: every detection slot gets its own crop + ground solve.
+        di = det_ops.DET_CLASSES.index("dumper")
+        dboxes = boxes[:, di]  # (B, D, 4)
+        cu, cv, half = crop_ops.square_roi(dboxes)  # (B, D)
+        crops = jax.vmap(lambda r, cs, vs, hs: jax.vmap(
+            lambda c1, v1, h1: preprocess.normalize(crop_ops.crop_resize(
+                r.astype(jnp.float32) / 255.0, c1, v1, h1, args.crop))
+        )(cs, vs, hs))(rgb, cu, cv, half)  # (B, D, c, c, 3)
         hm = pose_net.output_to_heatmaps(
-            pose_net.forward(crop_model, crop_state.params, crops), "focal")
+            pose_net.forward(crop_model, crop_state.params,
+                             crops.reshape((B * max_det,) + crops.shape[2:])),
+            "focal")
         cstride = getattr(crop_model, "output_stride", 4)
         uv_c, sc = decode_ops.dark_decode(hm)
-        uv = crop_ops.crop_to_uv(uv_c * cstride, cu[:, None], cv[:, None],
-                                 half[:, None], args.crop)
+        K = uv_c.shape[1]
+        uv_c = uv_c.reshape(B, max_det, K, 2)
+        sc = sc.reshape(B, max_det, K)
+        uv = crop_ops.crop_to_uv(uv_c * cstride, cu[..., None], cv[..., None],
+                                 half[..., None], args.crop)
         w = jnp.where(sc >= 0.15, sc, 0.0)
         x = pnp_ops.normalize_pixels(uv, intr.fx, intr.fy, intr.cx, intr.cy)
-        R_wp = rotation.matrix_from_quat_xyzw(camera_pose7[..., 3:])
-        B = x.shape[0]
-        res = jax.vmap(pnp_ops.solve_ground_pose)(
-            jnp.broadcast_to(model_pts, (B,) + model_pts.shape), x, w,
-            R_wp, camera_pose7[..., :3])
-        return box, det_score, res
+        Xb = jnp.broadcast_to(model_pts, (max_det,) + model_pts.shape)
+        dres = jax.vmap(lambda xx, ww, Rw, cp: jax.vmap(
+            lambda X, xi, wi: pnp_ops.solve_ground_pose(X, xi, wi, Rw, cp)
+        )(Xb, xx, ww))(x, w, R_wp, cam)  # fields (B, D, ...)
+
+        out = {"boxes": boxes, "scores": scores,
+               "dumper_R": dres.R, "dumper_t": dres.t,
+               "dumper_rmse": dres.rmse, "dumper_valid": dres.valid}
+
+        # Crane: detected part boxes -> per-part crops -> FK joint solve.
+        if crane_params is not None:
+            pb, ps = eval_pipeline.best_part_boxes(boxes, scores)
+            part_vis = ps >= args.det_threshold
+            cuv, csc, cw = eval_pipeline.crane_part_keypoints(
+                rgb, pb, part_vis, pipe.roster, crane_model, crane_params,
+                crop_size=args.crop)
+            s0, Kp = crop_loop.crane_channels(pipe.roster)
+            kpts_local = jnp.asarray(pipe.roster.inst_kpts[s0:s0 + 4, :Kp])
+            cx = pnp_ops.normalize_pixels(cuv, intr.fx, intr.fy,
+                                          intr.cx, intr.cy)
+            cres = jax.vmap(lambda xx, ww, Rw, cp: pnp_ops.solve_crane_pose(
+                kpts_local, xx, ww, Rw, cp))(cx, cw, R_wp, cam)
+            out.update({"crane_part_boxes": pb, "crane_part_scores": ps,
+                        "crane_R": cres.R, "crane_t": cres.t,
+                        "crane_rmse": cres.rmse, "crane_valid": cres.valid})
+        return out
 
     gen = jax.jit(pipe.make_generate_fn(ladder=args.ladder))
     infer_j = jax.jit(infer)
     seed = jax.random.PRNGKey(args.seed)
     px2n = 1.0 / float(intr.fx)
-    n_out = 0
+    pose_classes = {"dumper"}
+    part_names = ("cranebase", "cranecolumn", "craneboom", "cranetelescopic")
+    n_out = n_det = 0
     with open(args.out, "w") as f:
         for lo in range(0, args.frames, args.batch):
             ids = jnp.arange(lo, lo + args.batch)
             batch = gen(seed, ids)
-            box, det_score, res = infer_j(batch.rgb, batch.camera_pose7)
-            accepted = np.asarray(res.valid
-                                  & (res.rmse <= 8.0 * px2n)
-                                  & (det_score >= args.det_threshold))
-            Rm = np.asarray(res.R); t = np.asarray(res.t)
+            o = jax.tree_util.tree_map(
+                np.asarray, infer_j(batch.rgb, batch.camera_pose7))
             # The final batch is padded to the static batch shape; emit only
             # records for real frame ids (< --frames).
             for i in range(min(args.frames - lo, args.batch)):
-                rec = {
-                    "frame_id": int(ids[i]),
-                    "detections": [{
-                        "class": "dumper",
-                        "score": float(det_score[i]),
-                        "bbox2d": [float(v) for v in np.asarray(box[i])],
-                        "pose_accepted": bool(accepted[i]),
-                        "R_cam": Rm[i].tolist(),
-                        "t_cam": t[i].tolist(),
-                        "reproj_rmse_px": float(res.rmse[i]) / px2n,
-                    }] if float(det_score[i]) >= args.det_threshold else [],
-                }
-                f.write(json_mod.dumps(rec) + "\n")
+                dets = []
+                for ci, cname in enumerate(det_ops.DET_CLASSES):
+                    if cname in det_ops.CRANE_PART_CLASSES or cname == "crane":
+                        continue  # crane handled as one articulated record
+                    for d in range(o["scores"].shape[2]):
+                        s = float(o["scores"][i, ci, d])
+                        if s < args.det_threshold:
+                            continue
+                        rec = {"class": cname, "score": s,
+                               "bbox2d": o["boxes"][i, ci, d].tolist()}
+                        if cname in pose_classes:
+                            ok = (bool(o["dumper_valid"][i, d])
+                                  and float(o["dumper_rmse"][i, d]) <= 8.0 * px2n)
+                            rec.update({
+                                "pose_accepted": ok,
+                                "R_cam": o["dumper_R"][i, d].tolist(),
+                                "t_cam": o["dumper_t"][i, d].tolist(),
+                                "reproj_rmse_px":
+                                    float(o["dumper_rmse"][i, d]) / px2n,
+                            })
+                        dets.append(rec)
+                if "crane_valid" in o and bool(
+                        (o["crane_part_scores"][i]
+                         >= args.det_threshold).any()):
+                    ok = (bool(o["crane_valid"][i])
+                          and float(o["crane_rmse"][i]) <= 8.0 * px2n)
+                    dets.append({
+                        "class": "crane", "pose_accepted": ok,
+                        "reproj_rmse_px": float(o["crane_rmse"][i]) / px2n,
+                        "parts": [{
+                            "name": part_names[pi],
+                            "score": float(o["crane_part_scores"][i, pi]),
+                            "bbox2d": o["crane_part_boxes"][i, pi].tolist(),
+                            "R_cam": o["crane_R"][i, pi].tolist(),
+                            "t_cam": o["crane_t"][i, pi].tolist(),
+                        } for pi in range(4)],
+                    })
+                n_det += len(dets)
+                f.write(json_mod.dumps(
+                    {"frame_id": int(ids[i]), "detections": dets}) + "\n")
                 n_out += 1
-    print(f"wrote {n_out} pose records -> {args.out}")
+    print(f"wrote {n_out} frame records ({n_det} detections) -> {args.out}")
 
 
 def cmd_bench(args) -> None:
@@ -577,6 +709,12 @@ def main() -> None:
     td.add_argument("--crop-ckpt", default=None,
                     help="crop-stage checkpoint: run the full detector->crop"
                          "->PnP path")
+    td.add_argument("--crane-crop-ckpt", default=None,
+                    help="per-part crane crop checkpoint: report the full "
+                         "detector-part-boxes -> FK-solve crane path")
+    td.add_argument("--n-dumpers", type=int, default=1,
+                    help="train/eval scenes with N dumpers; with --crop-ckpt "
+                         "also reports the multi-instance two-stage path")
     td.add_argument("--eval-ladder", action="store_true")
     td.add_argument("--camera-mix", type=float, default=0.0)
     td.set_defaults(fn=cmd_train_detect)
@@ -585,6 +723,9 @@ def main() -> None:
                                        "crop -> 6DoF pose JSON lines")
     inf.add_argument("--det-ckpt", required=True)
     inf.add_argument("--crop-ckpt", required=True)
+    inf.add_argument("--crane-crop-ckpt", default=None,
+                     help="per-part crane crop checkpoint: adds articulated "
+                          "crane records (FK joint solve) to the output")
     inf.add_argument("--out", default="poses.jsonl")
     inf.add_argument("--frames", type=int, default=32)
     inf.add_argument("--batch", type=int, default=16)
@@ -593,6 +734,9 @@ def main() -> None:
     inf.add_argument("--seed", type=int, default=0)
     inf.add_argument("--ladder", action="store_true")
     inf.add_argument("--det-threshold", type=float, default=0.3)
+    inf.add_argument("--max-det", type=int, default=4,
+                     help="detection slots per class (each dumper slot pays "
+                          "a crop+solve)")
     inf.set_defaults(fn=cmd_infer)
 
     b = sub.add_parser("bench", help="headline benchmark")

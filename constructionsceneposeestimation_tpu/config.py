@@ -93,8 +93,12 @@ class SceneConfig:
     n_humans: int = 1
     n_dumpers: int = 1
     n_cranes: int = 1
-    fence_half_x: float = 10.5  # fence perimeter geometry (interior bounds + margin)
-    fence_half_y: float = 10.5
+    # Fence perimeter geometry: the reference crate's authored ring spans
+    # x [-11.5, 10.1], y [-11.3, 10.0] (panel centers; ring center offset
+    # ~-0.7 m — tools/calibrate_proxies.py). The repo centers its ring, so
+    # the half-extent is the measured half-span.
+    fence_half_x: float = 10.8
+    fence_half_y: float = 10.7
     tree_ring_radius: float = 12.5  # trees sit outside the fence (reference: 933)
 
 

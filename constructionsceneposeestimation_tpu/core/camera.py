@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import rotation
 
@@ -41,7 +42,9 @@ _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 # Rows map camera-frame coordinates to pinhole-frame coordinates.
-R_PINHOLE_FROM_CAM = jnp.array(
+# numpy, not jnp: module-level device arrays would initialise the XLA
+# backend at import time, breaking jax.distributed.initialize ordering.
+R_PINHOLE_FROM_CAM = np.array(
     [
         [0.0, -1.0, 0.0],
         [0.0, 0.0, -1.0],

@@ -110,6 +110,57 @@ def evaluate_decode_associated(
     }
 
 
+def evaluate_human_pck(
+    batch, roster, stride: float, heatmaps: Optional[Array] = None,
+    alpha: float = 0.5, score_threshold: float = 0.3, use_dark: bool = True,
+) -> Dict[str, Array]:
+    """Human-specific PCK@alpha over the worker's 17 COCO keypoints
+    (BASELINE config 3: "17-kpt COCO heatmap targets"; reference worker
+    handling at generate_construction_data.py:1158-1200, class 5 at :75).
+
+    Unlike ``evaluate_decode``, which buries the human among every class
+    channel, this scores ONLY the human instance(s): each of the 17 dedicated
+    channels is densely decoded (DARK or soft-argmax) and compared to the
+    articulated GT joint projection, normalized by the human's projected bbox
+    extent. Returns the aggregate PCK plus ``pck_per_kpt`` (17,) in COCO
+    order (assets.COCO_KEYPOINT_NAMES)."""
+    h0, h1 = roster.human_slice
+    assert h1 > h0, "roster has no human instance"
+    ch = jnp.asarray(roster.inst_kpt_channel[h0:h1])  # (H, Kmax)
+    kpt_valid = jnp.asarray(roster.inst_kpt_valid[h0:h1])  # (H, Kmax)
+    hms = heatmaps if heatmaps is not None else batch.heatmaps
+    uv_all, score = decode_heatmaps(hms, stride, use_dark)  # (B, C, 2)
+    B = uv_all.shape[0]
+    H, Kmax = ch.shape
+    uv = jnp.take(uv_all, jnp.maximum(ch, 0).reshape(-1), axis=1)
+    uv = uv.reshape(B, H, Kmax, 2)
+    sc = jnp.take(score, jnp.maximum(ch, 0).reshape(-1), axis=1)
+    sc = sc.reshape(B, H, Kmax)
+
+    gt_uv = batch.kpt_uv[:, h0:h1]  # (B, H, Kmax, 2)
+    gt_vis = batch.kpt_visible[:, h0:h1]  # (B, H, Kmax)
+    valid = gt_vis & kpt_valid[None] & (ch >= 0)[None]
+
+    span = jnp.where(gt_vis[..., None], gt_uv, jnp.nan)
+    bbox_wh = jnp.nanmax(span, axis=-2) - jnp.nanmin(span, axis=-2)  # (B, H, 2)
+    bbox_size = jnp.nan_to_num(jnp.max(bbox_wh, -1), nan=1.0)  # (B, H)
+    thr = jnp.maximum(alpha * bbox_size[..., None], 2.0)  # (B, H, 1)
+
+    d = jnp.linalg.norm(uv - gt_uv, axis=-1)  # (B, H, Kmax)
+    correct = (d <= thr) & valid & (sc >= score_threshold)
+    n_per_kpt = jnp.sum(valid, axis=(0, 1))  # (Kmax,)
+    n_eval = jnp.sum(valid)
+    return {
+        "pck": jnp.sum(correct) / jnp.maximum(n_eval, 1),
+        "pck_per_kpt": jnp.sum(correct, axis=(0, 1))
+        / jnp.maximum(n_per_kpt, 1),
+        "n_per_kpt": n_per_kpt,
+        "mean_px_error": jnp.sum(jnp.where(correct, d, 0.0))
+        / jnp.maximum(jnp.sum(correct), 1),
+        "n_keypoints": n_eval,
+    }
+
+
 def _in_site(t_cam: Array, R_wp: Array, cam_pos: Array,
              margin: float = 2.0) -> Array:
     """Site-bounds acceptance gate, applied uniformly by every ground-prior
@@ -358,16 +409,50 @@ def evaluate_crop_6dof(
     }
 
 
+def match_boxes_to_instances(det_boxes: Array, det_scores: Array,
+                             gt_boxes: Array, det_threshold: float = 0.3,
+                             min_iou: float = 0.25):
+    """Assign detector boxes (B, D, 4)/(B, D) to GT instance slots
+    (B, I, 4) one-to-one by IoU: each instance column takes its
+    highest-IoU unclaimed above-threshold detection. Returns
+    (boxes (B, I, 4), matched (B, I)) — unmatched slots keep the GT box
+    shape but are masked out by ``matched``."""
+    B, D = det_scores.shape
+    I = gt_boxes.shape[1]
+    iou = _iou(det_boxes[:, :, None, :], gt_boxes[:, None, :, :])  # (B, D, I)
+    iou = jnp.where((det_scores >= det_threshold)[:, :, None], iou, 0.0)
+    taken = jnp.zeros((B, D), bool)
+    out_boxes, out_matched = [], []
+    for col in range(I):
+        col_iou = jnp.where(taken, 0.0, iou[:, :, col])  # (B, D)
+        best = jnp.argmax(col_iou, axis=-1)  # (B,)
+        best_iou = jnp.max(col_iou, axis=-1)
+        hit = best_iou >= min_iou
+        taken = taken | ((jnp.arange(D)[None] == best[:, None]) & hit[:, None])
+        chosen = jnp.take_along_axis(det_boxes, best[:, None, None], axis=1)[:, 0]
+        out_boxes.append(jnp.where(hit[:, None], chosen, gt_boxes[:, col]))
+        out_matched.append(hit)
+    return jnp.stack(out_boxes, 1), jnp.stack(out_matched, 1)
+
+
 def evaluate_crop_6dof_multi(
     batch, roster, intr: cam_mod.Intrinsics, model, params,
     class_name: str = "dumper", crop_size: int = 128,
     score_threshold: float = 0.3, rmse_gate_px: float = 8.0,
     loss: str = "focal", min_box_px: float = 6.0,
+    boxes: Optional[Array] = None, box_scores: Optional[Array] = None,
+    det_threshold: float = 0.3,
 ) -> Dict[str, Array]:
     """Multi-instance crop-stage 6DoF: one ROI per (frame, instance) of the
-    class — every instance's box (label box = detector stand-in) through the
-    same crop net, solved and scored independently. Lifts the crop path to
-    multi-dumper scenes (SceneConfig.n_dumpers > 1)."""
+    class — every instance's box through the same crop net, solved and scored
+    independently. Lifts the crop path to multi-dumper scenes
+    (SceneConfig.n_dumpers > 1).
+
+    Boxes come from the bbox2d label by default (detector stand-in); pass
+    ``boxes`` (B, D, 4) + ``box_scores`` (B, D) — one detection class's raw
+    decode_detections output — for the label-free path: detections are
+    IoU-assigned one-to-one to instance slots (match_boxes_to_instances) and
+    unmatched instances count as not detectable."""
     from ..models import pose_net
     from ..ops import crop as crop_ops
     from ..ops import preprocess
@@ -381,6 +466,11 @@ def evaluate_crop_6dof_multi(
     oi = jnp.asarray(idxs)
 
     bbox = batch.bbox2d[:, oi].astype(jnp.float32)  # (B, I, 4)
+    det_matched = None
+    if boxes is not None:
+        assert box_scores is not None, "detector boxes need their scores"
+        bbox, det_matched = match_boxes_to_instances(
+            boxes.astype(jnp.float32), box_scores, bbox, det_threshold)
     cu, cv, half = crop_ops.square_roi(bbox)  # (B, I)
 
     def one(rgb, c1, v1, h1):
@@ -416,6 +506,8 @@ def evaluate_crop_6dof_multi(
     box_px = jnp.maximum(bbox[..., 2] - bbox[..., 0],
                          bbox[..., 3] - bbox[..., 1])
     detectable = batch.inst_visible[:, oi] & (box_px >= min_box_px)
+    if det_matched is not None:
+        detectable = detectable & det_matched
     accepted = (res.valid & detectable & (res.rmse <= rmse_gate_px * px2n)
                 & _in_site(res.t, R_wp[:, None], pose7[:, None, :3]))
 
@@ -461,7 +553,7 @@ def evaluate_detector(
     from ..models import pose_net
     from ..ops import detect as detect_ops
     from ..ops import preprocess
-    from ..train import crop_loop
+    from ..train import detect_loop
 
     imgs = jax.vmap(lambda r: preprocess.normalize(
         r.astype(jnp.float32) / 255.0))(batch.rgb)
@@ -470,14 +562,8 @@ def evaluate_detector(
     boxes, scores = jax.vmap(
         lambda p: detect_ops.decode_detections(p, float(stride), max_det))(pred)
 
-    inst_cls = jnp.asarray(detect_ops.det_class_of_instances(roster))
-    merged, any_vis = crop_loop.crane_union_roi(batch, roster)
-    s0, s1 = roster.crane_slice
-    gt_boxes = batch.bbox2d.astype(jnp.float32)
-    gt_boxes = gt_boxes.at[:, s0:s1].set(merged[:, None, :])
-    gt_vis = batch.inst_visible
-    gt_vis = gt_vis.at[:, s0 + 1:s1].set(False)
-    gt_vis = gt_vis.at[:, s0].set(any_vis)
+    inst_cls = detect_loop.extended_inst_classes(roster)
+    gt_boxes, gt_vis = detect_loop.crane_extended_boxes(batch, roster)
 
     C = len(detect_ops.DET_CLASSES)
     O = gt_boxes.shape[1]
@@ -533,7 +619,74 @@ def evaluate_detector(
         boxes[:, di], best[:, None, None], axis=1)[:, 0]
     out["dumper_scores"] = jnp.take_along_axis(
         scores[:, di], best[:, None], axis=1)[:, 0]
+    # Raw decoded detections (B, C, max_det, ...) for multi-instance and
+    # per-part hand-offs (cli.cmd_infer, evaluate_crop_6dof_multi boxes=...).
+    out["boxes"] = boxes
+    out["scores"] = scores
     return out
+
+
+def best_part_boxes(boxes: Array, scores: Array):
+    """Detector outputs (B, C, D, 4)/(B, C, D) -> the best crane PART box per
+    frame: ((B, 4, 4), (B, 4)) in roster part order base/column/boom/
+    telescopic — the label-free per-part ROIs for the FK crop solve."""
+    from ..ops import detect as detect_ops
+    cidx = jnp.asarray([detect_ops.DET_CLASSES.index(p)
+                        for p in detect_ops.CRANE_PART_CLASSES])
+    pb = boxes[:, cidx]  # (B, 4, D, 4)
+    ps = scores[:, cidx]  # (B, 4, D)
+    best = jnp.argmax(ps, axis=-1)
+    bb = jnp.take_along_axis(pb, best[..., None, None], axis=2)[:, :, 0]
+    bs = jnp.take_along_axis(ps, best[..., None], axis=2)[..., 0]
+    return bb, bs
+
+
+def crane_part_keypoints(
+    rgb, pboxes: Array, part_vis: Array, roster, model, params,
+    crop_size: int = 128, score_threshold: float = 0.3, loss: str = "focal",
+):
+    """Per-part crane ROIs -> 4*Kp crop net -> DARK decode, mapped back to
+    image pixels. ``pboxes`` (B, 4, 4) in roster part order (label boxes or
+    detector best_part_boxes); ``part_vis`` (B, 4) gates a part's keypoint
+    weights. Returns (uv (B, 4, Kp, 2), scores (B, 4, Kp), w (B, 4, Kp)) —
+    feed w into ops/pnp.solve_crane_pose. Shared by the crane crop evaluator
+    and the deployment infer loop."""
+    from ..models import pose_net
+    from ..ops import crop as crop_ops
+    from ..ops import preprocess
+    from ..train import crop_loop
+
+    s0, Kp = crop_loop.crane_channels(roster)
+    kpt_valid = jnp.asarray(roster.inst_kpt_valid[s0:s0 + 4, :Kp])
+    stride = getattr(model, "output_stride", 4)
+    B = rgb.shape[0]
+
+    def one(img, cu1, cv1, h1):
+        c = crop_ops.crop_resize(img.astype(jnp.float32) / 255.0,
+                                 cu1, cv1, h1, crop_size)
+        return preprocess.normalize(c)
+
+    # min_half matches crop_loop.crop_batch_crane_parts (degenerate thin
+    # telescopic boxes need joint context in the crop).
+    cu, cv, half = crop_ops.square_roi(pboxes, min_half=24.0)  # (B, 4)
+    imgs = jax.vmap(lambda img, cs, vs, hs: jax.vmap(
+        lambda c1, v1, h1: one(img, c1, v1, h1))(cs, vs, hs))(
+            rgb, cu, cv, half)  # (B, 4, c, c, 3)
+    hm = pose_net.output_to_heatmaps(
+        pose_net.forward(model, params,
+                         imgs.reshape((B * 4,) + imgs.shape[2:])), loss)
+    uv_c, sc_all = decode_ops.dark_decode(hm)  # (B*4, 4*Kp, 2)
+    uv_c = uv_c.reshape(B, 4, 4, Kp, 2)
+    sc_all = sc_all.reshape(B, 4, 4, Kp)
+    # Part pi's keypoints from ITS crop: diagonal over (crop, part-block).
+    pidx = jnp.arange(4)
+    uv_c = uv_c[:, pidx, pidx]  # (B, 4, Kp, 2)
+    sc = sc_all[:, pidx, pidx]
+    uv = crop_ops.crop_to_uv(uv_c * stride, cu[..., None], cv[..., None],
+                             half[..., None], crop_size)
+    w = jnp.where((sc >= score_threshold) & kpt_valid
+                  & part_vis[..., None], sc, 0.0)
+    return uv, sc, w
 
 
 def evaluate_crop_crane_6dof(
@@ -541,6 +694,8 @@ def evaluate_crop_crane_6dof(
     crop_size: int = 128, score_threshold: float = 0.3,
     rmse_gate_px: float = 8.0, loss: str = "focal", min_box_px: float = 10.0,
     per_part: bool = False,
+    part_boxes: Optional[Array] = None, part_scores: Optional[Array] = None,
+    det_threshold: float = 0.3,
 ) -> Dict[str, Array]:
     """Two-stage crane pose: ROI(s) -> 4*Kp crop channels -> decoded
     keypoints mapped back to image pixels -> FK-constrained joint solve
@@ -548,7 +703,10 @@ def evaluate_crop_crane_6dof(
 
     ``per_part=False``: one ROI around the 4-part union. ``per_part=True``:
     four ROIs (one per part box) through the same net, each part decoded from
-    its own crop — boom/telescopic at full crop resolution."""
+    its own crop — boom/telescopic at full crop resolution. ``part_boxes``
+    (B, 4, 4) + ``part_scores`` (B, 4) replace the label boxes with a real
+    detector's per-part output (best_part_boxes) — the fully label-free
+    path; a part below ``det_threshold`` contributes no keypoints."""
     from ..models import pose_net
     from ..ops import crop as crop_ops
     from ..ops import preprocess
@@ -569,28 +727,17 @@ def evaluate_crop_crane_6dof(
 
     B = batch.rgb.shape[0]
     if per_part:
-        pboxes = batch.bbox2d[:, s0:s0 + 4].astype(jnp.float32)  # (B, 4, 4)
-        # min_half matches crop_loop.crop_batch_crane_parts (degenerate thin
-        # telescopic boxes need joint context in the crop).
-        cu, cv, half = crop_ops.square_roi(pboxes, min_half=24.0)  # (B, 4)
-        imgs = jax.vmap(lambda rgb, cs, vs, hs: jax.vmap(
-            lambda c1, v1, h1: one(rgb, c1, v1, h1))(cs, vs, hs))(
-                batch.rgb, cu, cv, half)  # (B, 4, c, c, 3)
-        hm = pose_net.output_to_heatmaps(
-            pose_net.forward(model, params,
-                             imgs.reshape((B * 4,) + imgs.shape[2:])), loss)
-        uv_c, sc_all = decode_ops.dark_decode(hm)  # (B*4, 4*Kp, 2)
-        uv_c = uv_c.reshape(B, 4, 4, Kp, 2)
-        sc_all = sc_all.reshape(B, 4, 4, Kp)
-        # Part pi's keypoints from ITS crop: diagonal over (crop, part-block).
-        pidx = jnp.arange(4)
-        uv_c = uv_c[:, pidx, pidx]  # (B, 4, Kp, 2)
-        sc = sc_all[:, pidx, pidx]
-        uv = crop_ops.crop_to_uv(uv_c * stride, cu[..., None], cv[..., None],
-                                 half[..., None], crop_size)
-        part_vis = batch.inst_visible[:, s0:s0 + 4]
-        w = jnp.where((sc >= score_threshold) & kpt_valid
-                      & part_vis[..., None], sc, 0.0)
+        if part_boxes is not None:
+            pboxes = part_boxes.astype(jnp.float32)  # (B, 4, 4)
+        else:
+            pboxes = batch.bbox2d[:, s0:s0 + 4].astype(jnp.float32)
+        if part_scores is not None:  # label-free: detector confidence gates
+            part_vis = part_scores >= det_threshold
+        else:
+            part_vis = batch.inst_visible[:, s0:s0 + 4]
+        uv, sc, w = crane_part_keypoints(
+            batch.rgb, pboxes, part_vis, roster, model, params,
+            crop_size=crop_size, score_threshold=score_threshold, loss=loss)
     else:
         cu, cv, half = crop_ops.square_roi(bbox)
         imgs = jax.vmap(one)(batch.rgb, cu, cv, half)

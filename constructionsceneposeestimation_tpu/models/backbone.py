@@ -56,6 +56,7 @@ class HeatmapBackbone(nn.Module):
     blocks_per_stage: Sequence[int] = (2, 2, 2, 2)
     deconv_features: int = 256
     output_stride: int = 4  # 4 -> three deconvs; 2 -> four
+    use_skips: bool = True  # FPN-style laterals: encoder /16, /8, /4 (and /2)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -67,17 +68,28 @@ class HeatmapBackbone(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
         x = nn.relu(x)
+        stem2 = x  # /2 (for output_stride=2 decoders)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        # Encoder: /32
+        # Encoder: /32, keeping per-stage outputs for the lateral skips. Far
+        # objects (a worker at 25 m is ~12 px at 512^2) vanish through the /32
+        # bottleneck; the laterals carry their high-frequency evidence back up.
+        skips = []  # stage outputs at /4, /8, /16, /32
         for i, (feats, n_blocks) in enumerate(zip(self.stage_features, self.blocks_per_stage)):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
                 x = ResBlock(feats, stride, self.dtype)(x)
-        # Decoder: 4x4 stride-2 deconvs down to the output stride.
+            skips.append(x)
+        # Decoder: 4x4 stride-2 deconvs down to the output stride, each fused
+        # with a 1x1-projected encoder lateral at its resolution (FPN-style).
         n_deconv = 3 if self.output_stride == 4 else 4
-        for _ in range(n_deconv):
+        laterals = [skips[2], skips[1], skips[0], stem2]  # /16, /8, /4, /2
+        for d in range(n_deconv):
             x = nn.ConvTranspose(self.deconv_features, (4, 4), strides=(2, 2),
                                  use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)
+            if self.use_skips:
+                x = x + nn.Conv(self.deconv_features, (1, 1), use_bias=False,
+                                dtype=self.dtype,
+                                param_dtype=jnp.float32)(laterals[d])
             x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
             x = nn.relu(x)
         # Head in f32 for stable regression targets.

@@ -8,8 +8,10 @@ a detector. Head layout (one backbone output, channel-major):
     [C, C+2)    box size (w, h) in heatmap units, regressed at the center
     [C+2, C+4)  center offset (sub-stride residual)
 
-Detection classes collapse the four articulated crane parts into one "crane"
-box (the crop stage takes the whole machine in one ROI).
+The four articulated crane parts are detected BOTH ways: each part as its own
+class (label-free per-part ROIs for the FK-constrained crop solve) AND the
+whole machine as one "crane" union box (a pseudo-instance the train/eval
+wrappers append — see train/detect_loop.crane_extended_boxes).
 """
 
 from __future__ import annotations
@@ -24,15 +26,18 @@ Array = jax.Array
 
 DET_CLASSES: Tuple[str, ...] = (
     "trafficcone", "tree", "fence", "dumper", "human", "crane",
+    "cranebase", "cranecolumn", "craneboom", "cranetelescopic",
 )
+CRANE_PART_CLASSES: Tuple[str, ...] = DET_CLASSES[6:]
 
 
 def det_class_of_instances(roster) -> np.ndarray:
-    """(O,) detection-class index per roster instance (crane parts -> crane)."""
+    """(O,) detection-class index per roster instance. Crane part instances
+    map to their own part classes; the union "crane" class has no roster
+    instance — the train/eval wrappers append a pseudo-instance for it."""
     out = np.zeros(len(roster.inst_class_names), np.int32)
     for i, n in enumerate(roster.inst_class_names):
-        name = "crane" if n.startswith("crane") else n
-        out[i] = DET_CLASSES.index(name)
+        out[i] = DET_CLASSES.index(n)
     return out
 
 

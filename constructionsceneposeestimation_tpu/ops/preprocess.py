@@ -11,11 +11,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+# numpy, not jnp: no backend init at import (multi-process bring-up).
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def resize_bilinear(img: Array, out_h: int, out_w: int) -> Array:

@@ -26,6 +26,7 @@ from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import camera as cam_mod
 from ..core import transforms
@@ -79,6 +80,7 @@ def render_frame(
     kpt_occlusion_tol: float = 0.02,
     analytic_normals: bool = False,
     sun_shadows: bool = False,
+    procedural_textures: bool = True,
     bug_compatible: bool = False,
     far_clip: float = 250.0,
 ) -> FrameAnnotations:
@@ -153,6 +155,40 @@ def render_frame(
         alb_idx = jnp.where(hit["inst"] >= 0, hit["inst"], O_ - 1 - hit["inst"])  # -1->O, -2->O+1
         albedo = albedo_table[alb_idx]
         lighting = lighting if lighting is not None else sh.default_lighting()
+        if procedural_textures:
+            # Hit position in the owning instance's LOCAL frame: patterns
+            # (cone bands, crane stripes, vest) ride the object under DR.
+            # Tables padded with identity/zero rows for ground (-1)/sky (-2).
+            rot_table = jnp.concatenate(
+                [inst_rot.reshape(O_, 9),
+                 jnp.broadcast_to(jnp.eye(3).reshape(1, 9), (2, 9))])
+            pos_table = jnp.concatenate([inst_pos, jnp.zeros((2, 3))])
+            cls_table = jnp.concatenate(
+                [jnp.asarray(roster.inst_class_id, jnp.int32),
+                 jnp.asarray([-1, -2], jnp.int32)])
+            t_safe3 = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
+            p_w = origin[None, :] + t_safe3[:, None] * rd
+            R_px = rot_table[alb_idx].reshape(-1, 3, 3)
+            d_w = p_w - pos_table[alb_idx]
+            p_local = jnp.einsum("nji,nj->ni", R_px, d_w)
+            albedo = sh.procedural_albedo(
+                albedo, p_local, cls_table[alb_idx], lighting)
+            # Contact AO on ground pixels: ambient falls off toward each
+            # instance's footprint (cheap grounding cue; the hard sun shadow
+            # is the optional sun_shadows sweep).
+            # Footprint radius capped at 2 m: airborne spans (crane boom)
+            # must not darken half the yard.
+            foot_r = jnp.asarray(
+                np.minimum(np.maximum(np.abs(roster.inst_aabb_min[:, :2]),
+                                      np.abs(roster.inst_aabb_max[:, :2]))
+                           .max(-1), 2.0), jnp.float32)  # (O,)
+            d_xy = jnp.linalg.norm(
+                p_w[:, None, :2] - inst_pos[None, :, :2], axis=-1)  # (N, O)
+            prox = jnp.clip((d_xy - foot_r[None, :]) / 0.6, 0.0, 1.0)
+            ao_ground = 0.45 + 0.55 * jnp.min(prox, axis=1)
+            ao = jnp.where(hit["inst"] == -1, ao_ground, 1.0)
+        else:
+            ao = None
         shadow_t = None
         if sun_shadows:
             # One packed sweep from the hit points toward the sun. Shadow-ray
@@ -166,7 +202,8 @@ def render_frame(
                 world, p_hit + sun_d[None, :] * bias,
                 jnp.broadcast_to(sun_d, p_hit.shape))
             shadow_t = shadow_hit["t"]
-        rgb = sh.shade(hit, origin, rd, albedo, lighting, shadow_t).reshape(H, W, 3)
+        rgb = sh.shade(hit, origin, rd, albedo, lighting, shadow_t,
+                       ao=ao).reshape(H, W, 3)
         rgb = sh.linear_to_srgb_u8(rgb)
     else:
         rgb = jnp.zeros((H, W, 3), jnp.uint8)

@@ -31,7 +31,7 @@ from ..scene import assets, world as world_mod
 Array = jax.Array
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
-INF = jnp.float32(1e10)
+INF = np.float32(1e10)  # numpy: no backend init at import
 EPS = 1e-7
 
 # Component triples: o = (ox, oy, oz) with shape (P, 1); d likewise (P, N).

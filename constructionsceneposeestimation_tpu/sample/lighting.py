@@ -19,7 +19,7 @@ Array = jax.Array
 
 
 def sample_lighting(key: Array, cfg: LightingConfig = LightingConfig()) -> Lighting:
-    ks = jax.random.split(key, 4)
+    ks = jax.random.split(key, 7)
     elev = jnp.deg2rad(jax.random.uniform(
         ks[0], (), minval=cfg.sun_elevation_range[0], maxval=cfg.sun_elevation_range[1]))
     azim = jnp.deg2rad(jax.random.uniform(
@@ -39,4 +39,9 @@ def sample_lighting(key: Array, cfg: LightingConfig = LightingConfig()) -> Light
         sun_intensity=sun_i * (cfg.distant_intensity_cap / 1500.0),
         dome_intensity=dome_i * (cfg.dome_intensity / 500.0),
         dome_color=base,
+        # Procedural-texture DR (render/shading.procedural_albedo): stripe
+        # phase, noise strength, lower-body grime.
+        tex_phase=jax.random.uniform(ks[4], ()),
+        tex_strength=jax.random.uniform(ks[5], (), minval=0.5, maxval=1.5),
+        dirt=jax.random.uniform(ks[6], (), minval=0.0, maxval=0.8),
     )

@@ -102,49 +102,64 @@ def _template(name, class_id, prims, keypoints, kpt_names, aabb, albedo) -> Clas
 
 
 def trafficcone_template() -> ClassTemplate:
-    # 0.7 m cone on a thin square base plate.
+    # Calibrated against the reference scene crate (tools/calibrate_proxies.py
+    # on cad_models/world2.usd.backup): measured 0.519 x 0.519 footprint,
+    # 0.686 m tall (was an estimated 0.40 x 0.40 x 0.70).
     kpts = np.array(
         [
-            [0.0, 0.0, 0.70],  # apex
+            [0.0, 0.0, 0.69],  # apex
             [0.0, 0.0, 0.0],  # base_center
-            [0.18, 0.0, 0.0],
-            [-0.18, 0.0, 0.0],
-            [0.0, 0.18, 0.0],
-            [0.0, -0.18, 0.0],
+            [0.26, 0.0, 0.0],
+            [-0.26, 0.0, 0.0],
+            [0.0, 0.26, 0.0],
+            [0.0, -0.26, 0.0],
         ],
         np.float32,
     )
     names = ("apex", "base_center", "base_px", "base_nx", "base_py", "base_ny")
     prims = [
-        (CONE, [0.0, 0.0, 0.375], None, [0.18, 0.03, 0.325]),  # z in [0.05, 0.70]
-        (BOX, [0.0, 0.0, 0.025], None, [0.20, 0.20, 0.025]),
+        (CONE, [0.0, 0.0, 0.37], None, [0.20, 0.03, 0.32]),  # z in [0.05, 0.69]
+        (BOX, [0.0, 0.0, 0.025], None, [0.26, 0.26, 0.025]),
     ]
     return _template("trafficcone", 0, prims, kpts, names,
-                     ([-0.20, -0.20, 0.0], [0.20, 0.20, 0.70]), [1.0, 0.35, 0.05])
+                     ([-0.26, -0.26, 0.0], [0.26, 0.26, 0.69]), [1.0, 0.35, 0.05])
 
 
 def tree_template() -> ClassTemplate:
+    # Calibrated against the reference scene crate (tools/calibrate_proxies.py
+    # on cad_models/world2.usd.backup): all 12 tree instances are one asset,
+    # 4.24 x 4.99 x 7.59 m total — trunk+branches mesh 3.1 x 3.7 x 7.2,
+    # foliage 4.2 x 5.0 x 7.1 reaching nearly to the ground. Proxy: tall
+    # trunk cylinder + two stacked canopy spheres approximating the leafy
+    # volume (was an estimated 2.4 x 2.4 x 4.0).
     kpts = np.array(
         [
             [0.0, 0.0, 0.0],  # root
-            [0.0, 0.0, 2.0],  # trunk_top
-            [0.0, 0.0, 2.8],  # canopy_center
-            [0.0, 0.0, 4.0],  # canopy_top
+            [0.0, 0.0, 2.9],  # trunk_top
+            [0.0, 0.0, 5.0],  # canopy_center
+            [0.0, 0.0, 7.5],  # canopy_top
         ],
         np.float32,
     )
     names = ("root", "trunk_top", "canopy_center", "canopy_top")
     prims = [
-        (CYLINDER, [0.0, 0.0, 1.0], None, [0.15, 1.0]),
-        (SPHERE, [0.0, 0.0, 2.8], None, [1.2]),
+        (CYLINDER, [0.0, 0.0, 1.6], None, [0.20, 1.6]),
+        # Two stacked spheres, not one capsule: spheres ride the cheapest
+        # transform-elided sweep category (a capsule tree measured 6% slower
+        # end-to-end despite one fewer prim).
+        (SPHERE, [0.0, 0.0, 3.6], None, [2.1]),
+        (SPHERE, [0.0, 0.0, 5.6], None, [2.2]),
     ]
     return _template("tree", 1, prims, kpts, names,
-                     ([-1.2, -1.2, 0.0], [1.2, 1.2, 4.0]), [0.15, 0.40, 0.10])
+                     ([-2.3, -2.3, 0.0], [2.3, 2.3, 7.6]), [0.15, 0.40, 0.10])
 
 
 def fence_template() -> ClassTemplate:
-    # One 3.5 m x 2 m panel with two posts (Zeppelin mobile fencing).
-    hx, hz = 1.75, 1.0
+    # One Zeppelin mobile fencing panel. Calibrated against the reference
+    # scene crate (tools/calibrate_proxies.py on world2.usd.backup): measured
+    # 3.731 m wide x 2.001 m high, 0.898 m deep at the transverse stabilizer
+    # feet; panels stand at a 3.58 m pitch (slight frame overlap).
+    hx, hz = 1.866, 1.0
     kpts = np.array(
         [
             [-hx, 0.0, 0.0],  # bottom_left
@@ -161,9 +176,13 @@ def fence_template() -> ClassTemplate:
         (BOX, [0.0, 0.0, 1.0], None, [hx, 0.02, hz]),
         (CYLINDER, [-hx, 0.0, 1.0], None, [0.03, 1.0]),
         (CYLINDER, [hx, 0.0, 1.0], None, [0.03, 1.0]),
+        # The stabilizer feet (0.9 m transverse, 0.14 m tall) are label-only:
+        # the AABB below includes them (the reference's 3D boxes do), but at
+        # DR range they subtend < 5 px and two extra sweep prims per panel
+        # cost ~15% of end-to-end datagen (40 boxes at n_fence_panels=20).
     ]
     return _template("fence", 2, prims, kpts, names,
-                     ([-1.78, -0.05, 0.0], [1.78, 0.05, 2.0]), [0.55, 0.55, 0.58])
+                     ([-1.90, -0.45, 0.0], [1.90, 0.45, 2.0]), [0.55, 0.55, 0.58])
 
 
 def cranebase_template() -> ClassTemplate:

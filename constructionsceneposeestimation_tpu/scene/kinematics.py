@@ -25,6 +25,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rotation
 
@@ -38,9 +39,10 @@ TELE_MAX_EXT = 2.0
 TELE_NESTED_OFFSET = 2.0  # telescopic origin sits this far before the boom tip at ext=0
 
 # [column_yaw_deg, boom_pitch_deg (positive = raised), telescopic_extension_m]
-DEFAULT_CRANE_JOINTS = jnp.array([0.0, 40.0, 1.0], jnp.float32)
-CRANE_JOINT_LOW = jnp.array([-180.0, 10.0, 0.0], jnp.float32)
-CRANE_JOINT_HIGH = jnp.array([180.0, 75.0, TELE_MAX_EXT], jnp.float32)
+# numpy, not jnp: no backend init at import (multi-process bring-up).
+DEFAULT_CRANE_JOINTS = np.array([0.0, 40.0, 1.0], np.float32)
+CRANE_JOINT_LOW = np.array([-180.0, 10.0, 0.0], np.float32)
+CRANE_JOINT_HIGH = np.array([180.0, 75.0, TELE_MAX_EXT], np.float32)
 
 CRANE_PART_ORDER = ("cranebase", "cranecolumn", "craneboom", "cranetelescopic")
 
@@ -101,9 +103,9 @@ def human_joint_positions(canonical_kpts: Array, yaw_deg: Array, pos: Array) -> 
 
 # [l_arm_swing, l_arm_abduct, l_elbow, r_arm_swing, r_arm_abduct, r_elbow,
 #  l_leg_swing, l_knee, r_leg_swing, r_knee]  (degrees)
-HUMAN_POSE_LOW = jnp.array([-40.0, -10.0, 0.0, -40.0, -10.0, 0.0,
+HUMAN_POSE_LOW = np.array([-40.0, -10.0, 0.0, -40.0, -10.0, 0.0,
                             -25.0, 0.0, -25.0, 0.0], jnp.float32)
-HUMAN_POSE_HIGH = jnp.array([40.0, 70.0, 80.0, 40.0, 70.0, 80.0,
+HUMAN_POSE_HIGH = np.array([40.0, 70.0, 80.0, 40.0, 70.0, 80.0,
                              25.0, 50.0, 25.0, 50.0], jnp.float32)
 
 

@@ -24,6 +24,27 @@ def make_detect_model(lite: bool = False):
     return pose_net.make_model(num_channels=C + 4, lite=lite)
 
 
+def extended_inst_classes(roster) -> jnp.ndarray:
+    """(O+1,) detection class per instance with the union-"crane"
+    pseudo-instance appended (pairs with crane_extended_boxes)."""
+    import numpy as np
+    base = detect_ops.det_class_of_instances(roster)
+    return jnp.asarray(np.concatenate(
+        [base, [detect_ops.DET_CLASSES.index("crane")]]).astype(np.int32))
+
+
+def crane_extended_boxes(batch, roster):
+    """(bbox (B, O+1, 4), vis (B, O+1)): every roster instance keeps its own
+    box (crane parts train their part classes), plus ONE appended
+    pseudo-instance carrying the 4-part union box for the "crane" class —
+    the whole-machine detection the single-ROI crop path consumes."""
+    merged, any_vis = crop_loop.crane_union_roi(batch, roster)
+    bbox = jnp.concatenate(
+        [batch.bbox2d.astype(jnp.float32), merged[:, None, :]], axis=1)
+    vis = jnp.concatenate([batch.inst_visible, any_vis[:, None]], axis=1)
+    return bbox, vis
+
+
 def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     tx = base_loop.make_optimizer(cfg)
     gen = pipe.make_generate_fn(
@@ -32,21 +53,10 @@ def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     stride = getattr(model, "output_stride", 4)
     hm_h = cfg.pipeline.render_height // stride
     hm_w = cfg.pipeline.render_width // stride
-    inst_cls = jnp.asarray(detect_ops.det_class_of_instances(pipe.roster))
+    inst_cls = jnp.asarray(extended_inst_classes(pipe.roster))
 
-    # The four crane parts share one "crane" detection box: replace each
-    # part's bbox with the union so the class target is a single machine box.
     def crane_merged_boxes(batch):
-        merged, any_vis = crop_loop.crane_union_roi(batch, pipe.roster)
-        s0, s1 = pipe.roster.crane_slice
-        bbox = batch.bbox2d.astype(jnp.float32)
-        vis = batch.inst_visible
-        bbox = bbox.at[:, s0:s1].set(merged[:, None, :])
-        # Only the FIRST part slot carries the crane box (others weight 0),
-        # so the union box isn't rendered four times.
-        vis = vis.at[:, s0 + 1:s1].set(False)
-        vis = vis.at[:, s0].set(any_vis)
-        return bbox, vis
+        return crane_extended_boxes(batch, pipe.roster)
 
     def loss_fn(params, images, bbox, vis):
         pred = pose_net.forward(model, params, images)  # (B, C+4, h, w)

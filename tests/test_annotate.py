@@ -129,3 +129,48 @@ def test_render_frame_jits_and_vmaps():
     np.testing.assert_allclose(
         np.asarray(batched.depth[0]), np.asarray(single.depth), rtol=1e-3, atol=1e-3
     )
+
+
+def test_procedural_textures_affect_rgb_only():
+    """The sim-to-real texture pass (cone bands, crane stripes, vest, contact
+    AO) must change RGB pixels but NO label modality."""
+    roster = world_mod.make_roster(CFG)
+    pose = world_mod.default_pose(roster, CFG)
+    world = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster)
+    intr = camera.intrinsics_from_apertures(12.0, 25.0, 96, 64)
+    cam = jnp.asarray([6.0, 2.0, 1.8], jnp.float32)
+    tgt = jnp.asarray([0.0, 0.0, 1.5], jnp.float32)
+    flat = annotate.render_frame(roster, caster, world, cam, tgt, intr,
+                                 procedural_textures=False)
+    tex = annotate.render_frame(roster, caster, world, cam, tgt, intr,
+                                procedural_textures=True)
+    assert (np.asarray(flat.rgb) != np.asarray(tex.rgb)).any()
+    for field in ("depth", "instance", "bbox2d", "kpt_uv", "kpt_visible",
+                  "center", "euler_deg"):
+        a, b = getattr(flat, field), getattr(tex, field)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=field)
+
+
+def test_cone_band_pattern_in_rgb():
+    """Close-up of a cone: the white reflective band must brighten the
+    mid-height pixels relative to the flat orange render."""
+    roster = world_mod.make_roster(CFG)
+    pose = world_mod.default_pose(roster, CFG)
+    world = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster)
+    intr = camera.intrinsics_from_apertures(12.0, 25.0, 96, 96)
+    c0, _ = roster.cone_slice
+    cone_xy = np.asarray(pose.positions)[c0, :2]
+    cam = jnp.asarray([cone_xy[0] + 1.5, cone_xy[1], 0.5], jnp.float32)
+    tgt = jnp.asarray([cone_xy[0], cone_xy[1], 0.35], jnp.float32)
+    flat = annotate.render_frame(roster, caster, world, cam, tgt, intr,
+                                 procedural_textures=False)
+    tex = annotate.render_frame(roster, caster, world, cam, tgt, intr,
+                                procedural_textures=True)
+    mask = np.asarray(tex.instance) == c0
+    assert mask.sum() > 50, "cone must fill the close-up"
+    flat_px = np.asarray(flat.rgb)[mask].astype(np.float32)
+    tex_px = np.asarray(tex.rgb)[mask].astype(np.float32)
+    # The band turns some orange pixels near-white: blue channel jumps.
+    assert tex_px[:, 2].max() > flat_px[:, 2].max() + 40

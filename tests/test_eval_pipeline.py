@@ -161,3 +161,20 @@ def test_multi_dumper_6dof_gt_keypoints():
     if int(out["n_instances_evaluated"]) > 0:
         assert float(out["add_0_1d"]) > 0.9, {k: float(v) for k, v in out.items()}
         assert float(out["add_mean"]) < 0.3
+
+
+def test_human_pck_floor():
+    """The worker's 17 COCO channels decoded from GT heatmaps must recover
+    the articulated joints (BASELINE config 3; reference worker at
+    generate_construction_data.py:1158-1200)."""
+    pipe, batch = make_batch()
+    out = eval_pipeline.evaluate_human_pck(
+        batch, pipe.roster, stride=CFG.pipeline.heatmap_stride)
+    assert int(out["n_keypoints"]) > 0
+    assert float(out["pck"]) >= 0.8, {
+        k: np.asarray(v).tolist() for k, v in out.items()}
+    assert out["pck_per_kpt"].shape[0] >= 17
+    # soft-argmax path runs too
+    out_sa = eval_pipeline.evaluate_human_pck(
+        batch, pipe.roster, stride=CFG.pipeline.heatmap_stride, use_dark=False)
+    assert float(out_sa["pck"]) >= 0.5
