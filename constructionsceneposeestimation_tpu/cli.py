@@ -261,7 +261,8 @@ def cmd_train_crop(args) -> None:
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
     model = crop_loop.make_crop_model(args.cls, lite=args.lite,
-                                      roster=pipe.roster)
+                                      roster=pipe.roster,
+                                      output_stride=getattr(args, "stride", 4))
     state = crop_loop.create_crop_train_state(
         cfg, model, jax.random.PRNGKey(args.seed), args.crop)
     mgr = None
@@ -546,7 +547,10 @@ def cmd_infer(args) -> None:
                         "crane_rmse": cres.rmse, "crane_valid": cres.valid})
         return out
 
-    gen = jax.jit(pipe.make_generate_fn(ladder=args.ladder))
+    if getattr(args, "sequence_len", 0):
+        gen = jax.jit(pipe.make_sequence_fn(args.sequence_len))
+    else:
+        gen = jax.jit(pipe.make_generate_fn(ladder=args.ladder))
     infer_j = jax.jit(infer)
     seed = jax.random.PRNGKey(args.seed)
     px2n = 1.0 / float(intr.fx)
@@ -559,6 +563,7 @@ def cmd_infer(args) -> None:
             batch = gen(seed, ids)
             o = jax.tree_util.tree_map(
                 np.asarray, infer_j(batch.rgb, batch.camera_pose7))
+            cam7 = np.asarray(batch.camera_pose7)
             # The final batch is padded to the static batch shape; emit only
             # records for real frame ids (< --frames).
             for i in range(min(args.frames - lo, args.batch)):
@@ -601,9 +606,35 @@ def cmd_infer(args) -> None:
                     })
                 n_det += len(dets)
                 f.write(json_mod.dumps(
-                    {"frame_id": int(ids[i]), "detections": dets}) + "\n")
+                    {"frame_id": int(ids[i]),
+                     "camera_pose7": [float(v) for v in cam7[i]],
+                     "detections": dets}) + "\n")
                 n_out += 1
     print(f"wrote {n_out} frame records ({n_det} detections) -> {args.out}")
+
+
+def cmd_seq_eval(args) -> None:
+    """Temporal quality of deployment outputs on sequence-mode clips: run
+    ``cspe-tpu infer --sequence-len N`` first, then score its JSONL — mean
+    inter-frame world-frame pose delta of tracked objects, rotation delta,
+    and detection identity stability (eval/sequence_metrics.py)."""
+    from .eval import sequence_metrics as seq_metrics
+
+    records = seq_metrics.load_records(args.poses)
+    out = seq_metrics.sequence_metrics(records, args.sequence_len,
+                                       fps=args.fps)
+    print(f"sequence eval ({int(out['n_clips'])} clips x "
+          f"{args.sequence_len} frames, {int(out['n_frames'])} frames):")
+    print(f"  id stability:       {out['id_stability']:.3f} "
+          f"(adjacent-frame detection matches)")
+    print(f"  pose track rate:    {out['pose_track_rate']:.3f} "
+          f"(accepted poses matched to the next frame)")
+    print(f"  mean |dt| world:    {out['mean_t_delta_m']:.3f} m/frame "
+          f"(p95 {out['p95_t_delta_m']:.3f})")
+    print(f"  mean |dR| world:    {out['mean_r_delta_deg']:.2f} deg/frame")
+    if "mean_speed_mps" in out:
+        print(f"  implied speed:      {out['mean_speed_mps']:.2f} m/s @ "
+              f"{args.fps} fps")
 
 
 def cmd_bench(args) -> None:
@@ -688,6 +719,8 @@ def main() -> None:
     tc.add_argument("--eval-ladder", action="store_true")
     tc.add_argument("--camera-mix", type=float, default=0.0,
                     help="P(close-range ladder view) per train frame")
+    tc.add_argument("--stride", type=int, default=4, choices=[2, 4],
+                    help="crop-net output stride (2 = double heatmap res)")
     tc.add_argument("--per-part", action="store_true",
                     help="crane only: one ROI per part (4 crops/frame) "
                          "instead of the machine union box")
@@ -737,6 +770,17 @@ def main() -> None:
     inf.add_argument("--max-det", type=int, default=4,
                      help="detection slots per class (each dumper slot pays "
                           "a crop+solve)")
+    inf.add_argument("--sequence-len", type=int, default=0,
+                     help="run on temporally-coherent clips of this length "
+                          "(pairs with seq-eval)")
+
+    se = sub.add_parser("seq-eval", help="temporal metrics over infer JSONL "
+                                         "from sequence-mode clips")
+    se.add_argument("--poses", required=True, help="infer --out JSONL path")
+    se.add_argument("--sequence-len", type=int, default=30)
+    se.add_argument("--fps", type=float, default=None,
+                    help="clip frame rate for implied-speed reporting")
+    se.set_defaults(fn=cmd_seq_eval)
     inf.set_defaults(fn=cmd_infer)
 
     b = sub.add_parser("bench", help="headline benchmark")

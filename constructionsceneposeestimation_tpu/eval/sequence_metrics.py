@@ -1,0 +1,142 @@
+"""Temporal quality metrics over deployment outputs on sequence-mode clips.
+
+The reference generates independent frames only; the TPU build adds
+temporally-coherent clips (sample/sequence.py). This module scores what a
+tracker downstream would care about: per-clip pose smoothness (mean
+inter-frame translation / rotation delta of the SAME physical object) and
+identity stability (how often a detection in frame t finds its match in
+frame t+1). Input is the ``cspe-tpu infer`` JSONL (one record per frame);
+pure numpy — no device work.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _iou(a, b) -> float:
+    iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = iw * ih
+    area = lambda x: max(0.0, x[2] - x[0]) * max(0.0, x[3] - x[1])
+    u = area(a) + area(b) - inter
+    return inter / u if u > 0 else 0.0
+
+
+def _rot_angle_deg(Ra, Rb) -> float:
+    R = np.asarray(Ra) @ np.asarray(Rb).T
+    c = (np.trace(R) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+def _match(prev: List[dict], cur: List[dict], min_iou: float = 0.1):
+    """Greedy IoU matching of same-class detections across adjacent frames.
+    Returns [(prev_det, cur_det)] one-to-one."""
+    pairs = []
+    used = set()
+    for p in prev:
+        best, best_iou = None, min_iou
+        for j, c in enumerate(cur):
+            if j in used or c["class"] != p["class"]:
+                continue
+            v = _iou(p["bbox2d"], c["bbox2d"])
+            if v > best_iou:
+                best, best_iou = j, v
+        if best is not None:
+            used.add(best)
+            pairs.append((p, cur[best]))
+    return pairs
+
+
+def load_records(path: str) -> List[dict]:
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def sequence_metrics(records: List[dict], seq_len: int,
+                     fps: Optional[float] = None) -> Dict[str, float]:
+    """Per-clip temporal metrics over infer JSONL records.
+
+    Frames ``[g*seq_len, (g+1)*seq_len)`` form clip ``g`` (the pipeline's
+    sequence grouping). Crane part poses are flattened into per-part pseudo
+    detections so the articulated chain is scored per part."""
+    by_id = {r["frame_id"]: r for r in records}
+    n_frames = max(by_id) + 1 if by_id else 0
+    t_deltas, r_deltas = [], []
+    n_adjacent = n_matched = 0
+    n_with_pose = n_pose_matched = 0
+
+    def world_pose(rec, d):
+        """Camera-frame (R, t) -> world frame via the record's camera pose —
+        the camera flies during a clip, so smoothness must be scored in
+        world coordinates. Falls back to camera frame if the record predates
+        the camera_pose7 field."""
+        if d.get("t_cam") is None:
+            return None, None
+        R_c = np.asarray(d["R_cam"]) if d.get("R_cam") is not None else None
+        t_c = np.asarray(d["t_cam"])
+        pose7 = rec.get("camera_pose7")
+        if pose7 is None:
+            return R_c, t_c
+        q = np.asarray(pose7[3:])  # xyzw, world-from-pinhole
+        x, y, z, w = q
+        R_wp = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        t_w = R_wp @ t_c + np.asarray(pose7[:3])
+        R_w = R_wp @ R_c if R_c is not None else None
+        return R_w, t_w
+
+    def dets_of(fid):
+        out = []
+        rec = by_id.get(fid, {"detections": []})
+        for d in rec["detections"]:
+            if d["class"] == "crane" and "parts" in d:
+                for part in d["parts"]:
+                    p = {"class": f"crane/{part['name']}",
+                         "bbox2d": part["bbox2d"],
+                         "R_cam": part.get("R_cam"),
+                         "t_cam": part.get("t_cam"),
+                         "pose_accepted": d.get("pose_accepted", False)}
+                    p["R_w"], p["t_w"] = world_pose(rec, p)
+                    out.append(p)
+            else:
+                d = dict(d)
+                d["R_w"], d["t_w"] = world_pose(rec, d)
+                out.append(d)
+        return out
+
+    for g in range(0, n_frames, seq_len):
+        for t in range(g + 1, min(g + seq_len, n_frames)):
+            prev, cur = dets_of(t - 1), dets_of(t)
+            n_adjacent += len(prev)
+            pairs = _match(prev, cur)
+            n_matched += len(pairs)
+            for p, c in pairs:
+                if not (p.get("pose_accepted") and c.get("pose_accepted")):
+                    continue
+                if p.get("t_w") is None or c.get("t_w") is None:
+                    continue
+                n_pose_matched += 1
+                t_deltas.append(float(np.linalg.norm(c["t_w"] - p["t_w"])))
+                if p.get("R_w") is not None and c.get("R_w") is not None:
+                    r_deltas.append(_rot_angle_deg(p["R_w"], c["R_w"]))
+            n_with_pose += sum(1 for p in prev if p.get("pose_accepted"))
+
+    out = {
+        "n_frames": float(n_frames),
+        "n_clips": float((n_frames + seq_len - 1) // seq_len),
+        "id_stability": n_matched / max(n_adjacent, 1),
+        "pose_track_rate": n_pose_matched / max(n_with_pose, 1),
+        "mean_t_delta_m": float(np.mean(t_deltas)) if t_deltas else float("nan"),
+        "p95_t_delta_m": float(np.percentile(t_deltas, 95)) if t_deltas else float("nan"),
+        "mean_r_delta_deg": float(np.mean(r_deltas)) if r_deltas else float("nan"),
+    }
+    if fps:
+        out["mean_speed_mps"] = out["mean_t_delta_m"] * fps
+    return out

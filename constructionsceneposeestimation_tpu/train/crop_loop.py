@@ -32,13 +32,18 @@ Array = jax.Array
 
 
 def make_crop_model(class_name: str = "dumper", lite: bool = False,
-                    roster=None):
+                    roster=None, output_stride: int = 4):
+    """``output_stride=2`` doubles heatmap resolution per crop — crane parts
+    have small ADD-0.1d gates, so crop-decode quantization matters more than
+    for the dumper."""
     if class_name == "crane":
         assert roster is not None, "crane crop model needs the roster"
         _, Kp = crane_channels(roster)
-        return pose_net.make_model(num_channels=4 * Kp, lite=lite)
+        return pose_net.make_model(num_channels=4 * Kp, lite=lite,
+                                   output_stride=output_stride)
     K = assets.all_templates()[class_name].num_keypoints
-    return pose_net.make_model(num_channels=K, lite=lite)
+    return pose_net.make_model(num_channels=K, lite=lite,
+                               output_stride=output_stride)
 
 
 def create_crop_train_state(cfg: Config, model, key: Array,

@@ -86,3 +86,42 @@ def test_interpolate_pose_boundaries():
     # Yaw takes the shortest path: |interp at 0.5| never exceeds 180.
     mid = seq_mod.lerp_angle_deg(jnp.float32(170.0), jnp.float32(-170.0), 0.5)
     assert abs(float(mid)) == 180.0 or abs(float(mid)) < 180.1
+
+
+def test_sequence_metrics_synthetic():
+    """seq-eval math on hand-built JSONL records: a dumper translating
+    0.1 m/frame in world coords under a MOVING camera must score
+    mean_t_delta = 0.1 (world frame), full id stability."""
+    import numpy as np
+    from constructionsceneposeestimation_tpu.eval import sequence_metrics as sm
+
+    def make_rec(fid):
+        # camera at x = fid (moving), identity orientation quaternion.
+        cam7 = [float(fid), 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+        t_world = np.array([5.0 + 0.1 * fid, 2.0, 0.0])
+        t_cam = t_world - np.array([fid, 0.0, 0.0])  # R_wp = I
+        return {
+            "frame_id": fid,
+            "camera_pose7": cam7,
+            "detections": [{
+                "class": "dumper", "score": 0.9,
+                "bbox2d": [10.0 + fid, 10.0, 60.0 + fid, 40.0],
+                "pose_accepted": True,
+                "R_cam": np.eye(3).tolist(),
+                "t_cam": t_cam.tolist(),
+            }],
+        }
+
+    records = [make_rec(i) for i in range(8)]
+    out = sm.sequence_metrics(records, seq_len=4)
+    assert out["n_frames"] == 8 and out["n_clips"] == 2
+    assert out["id_stability"] == 1.0
+    assert out["pose_track_rate"] == 1.0
+    # Camera moved 1 m/frame but the WORLD delta is the object's 0.1 m.
+    np.testing.assert_allclose(out["mean_t_delta_m"], 0.1, atol=1e-6)
+    np.testing.assert_allclose(out["mean_r_delta_deg"], 0.0, atol=1e-5)
+
+    # A detection dropout in one frame reduces id stability.
+    records[3]["detections"] = []
+    out2 = sm.sequence_metrics(records, seq_len=4)
+    assert out2["id_stability"] < 1.0
