@@ -115,7 +115,8 @@ def _run_training(args):
     mgr = None
     if getattr(args, "ckpt_dir", None):
         from .train import checkpoint
-        mgr = checkpoint.CheckpointManager(args.ckpt_dir, save_every=0)
+        mgr = checkpoint.CheckpointManager(
+            args.ckpt_dir, save_every=getattr(args, "save_every", 0))
         if mgr.latest_step() is not None:
             state = mgr.restore(state)
             print(f"restored checkpoint at step {int(state.step)}")
@@ -132,6 +133,8 @@ def _run_training(args):
             done += inner
             print(f"step {done}: loss={float(metrics['loss']):.5f} "
                   f"({(done - trained0) * args.batch / (time.time() - t0):.1f} img/s avg)")
+            if mgr is not None and mgr.maybe_save(state):
+                print(f"checkpointed step {int(state.step)}")
         if mgr is not None:
             mgr.maybe_save(state, force=True)
             print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
@@ -268,7 +271,8 @@ def cmd_train_crop(args) -> None:
     mgr = None
     if args.ckpt_dir:
         from .train import checkpoint
-        mgr = checkpoint.CheckpointManager(args.ckpt_dir, save_every=0)
+        mgr = checkpoint.CheckpointManager(
+            args.ckpt_dir, save_every=getattr(args, "save_every", 0))
         if mgr.latest_step() is not None:
             state = mgr.restore(state)
             print(f"restored checkpoint at step {int(state.step)}")
@@ -287,6 +291,8 @@ def cmd_train_crop(args) -> None:
             print(f"step {done}: loss={float(metrics['loss']):.5f} "
                   f"vis={float(metrics['n_visible']):.0f}/{args.batch} "
                   f"({(done - t0_done) * args.batch / (time.time() - t0):.1f} img/s avg)")
+            if mgr is not None and mgr.maybe_save(state):
+                print(f"checkpointed step {int(state.step)}")
         if mgr is not None:
             mgr.maybe_save(state, force=True)
             print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
@@ -345,7 +351,8 @@ def cmd_train_detect(args) -> None:
     mgr = None
     if args.ckpt_dir:
         from .train import checkpoint
-        mgr = checkpoint.CheckpointManager(args.ckpt_dir, save_every=0)
+        mgr = checkpoint.CheckpointManager(
+            args.ckpt_dir, save_every=getattr(args, "save_every", 0))
         if mgr.latest_step() is not None:
             state = mgr.restore(state)
             print(f"restored checkpoint at step {int(state.step)}")
@@ -362,6 +369,8 @@ def cmd_train_detect(args) -> None:
             done += inner
             print(f"step {done}: loss={float(metrics['loss']):.5f} "
                   f"({(done - t0_done) * args.batch / (time.time() - t0):.1f} img/s avg)")
+            if mgr is not None and mgr.maybe_save(state):
+                print(f"checkpointed step {int(state.step)}")
         if mgr is not None:
             mgr.maybe_save(state, force=True)
             print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
@@ -415,7 +424,9 @@ def cmd_train_detect(args) -> None:
 
     if getattr(args, "crane_crop_ckpt", None):
         from .train import checkpoint, crop_loop
-        crane_model = crop_loop.make_crop_model("crane", roster=pipe.roster)
+        crane_model = crop_loop.make_crop_model(
+            "crane", roster=pipe.roster,
+            output_stride=getattr(args, "crane_stride", 4))
         crane_state = crop_loop.create_crop_train_state(
             cfg, crane_model, jax.random.PRNGKey(0), args.crop)
         cmgr = checkpoint.CheckpointManager(args.crane_crop_ckpt, save_every=0)
@@ -475,7 +486,9 @@ def cmd_infer(args) -> None:
     crop_state = m.restore(crop_state); m.close()
     crane_model = crane_params = None
     if args.crane_crop_ckpt:
-        crane_model = crop_loop.make_crop_model("crane", roster=pipe.roster)
+        crane_model = crop_loop.make_crop_model(
+            "crane", roster=pipe.roster,
+            output_stride=getattr(args, "crane_stride", 4))
         crane_state = crop_loop.create_crop_train_state(
             cfg, crane_model, jax.random.PRNGKey(0), args.crop)
         m = checkpoint.CheckpointManager(args.crane_crop_ckpt, save_every=0)
@@ -681,6 +694,9 @@ def main() -> None:
                    help="train steps per device dispatch (lax.scan)")
     t.add_argument("--ckpt-dir", default=None,
                    help="orbax checkpoint dir (restore if present, save at end)")
+    t.add_argument("--save-every", type=int, default=0,
+                    help="also checkpoint every N steps mid-run (0 = only "
+                         "at the end) — crash/tunnel-wedge resilience")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("train-eval", help="train then PCK/ADD evaluation")
@@ -699,6 +715,9 @@ def main() -> None:
     te.add_argument("--ckpt-dir", default=None)
     te.add_argument("--eval-ladder", action="store_true",
                     help="evaluate on the close-range reference viewpoint ladder")
+    te.add_argument("--save-every", type=int, default=0,
+                    help="also checkpoint every N steps mid-run (0 = only "
+                         "at the end) — crash/tunnel-wedge resilience")
     te.set_defaults(fn=cmd_train_eval)
 
     tc = sub.add_parser("train-crop",
@@ -726,6 +745,9 @@ def main() -> None:
                          "instead of the machine union box")
     tc.add_argument("--n-dumpers", type=int, default=1,
                     help="train/eval scenes with N dumpers (multi-instance)")
+    tc.add_argument("--save-every", type=int, default=0,
+                    help="also checkpoint every N steps mid-run (0 = only "
+                         "at the end) — crash/tunnel-wedge resilience")
     tc.set_defaults(fn=cmd_train_crop)
 
     td = sub.add_parser("train-detect",
@@ -739,12 +761,17 @@ def main() -> None:
     td.add_argument("--inner", type=int, default=50)
     td.add_argument("--eval-frames", type=int, default=64)
     td.add_argument("--ckpt-dir", default=None)
+    td.add_argument("--save-every", type=int, default=0,
+                    help="also checkpoint every N steps mid-run (0 = only "
+                         "at the end) — crash/tunnel-wedge resilience")
     td.add_argument("--crop-ckpt", default=None,
                     help="crop-stage checkpoint: run the full detector->crop"
                          "->PnP path")
     td.add_argument("--crane-crop-ckpt", default=None,
                     help="per-part crane crop checkpoint: report the full "
                          "detector-part-boxes -> FK-solve crane path")
+    td.add_argument("--crane-stride", type=int, default=4, choices=[2, 4],
+                    help="output stride the crane crop ckpt was trained at")
     td.add_argument("--n-dumpers", type=int, default=1,
                     help="train/eval scenes with N dumpers; with --crop-ckpt "
                          "also reports the multi-instance two-stage path")
@@ -773,6 +800,8 @@ def main() -> None:
     inf.add_argument("--sequence-len", type=int, default=0,
                      help="run on temporally-coherent clips of this length "
                           "(pairs with seq-eval)")
+    inf.add_argument("--crane-stride", type=int, default=4, choices=[2, 4],
+                     help="output stride the crane crop ckpt was trained at")
 
     se = sub.add_parser("seq-eval", help="temporal metrics over infer JSONL "
                                          "from sequence-mode clips")

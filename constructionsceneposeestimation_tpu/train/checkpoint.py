@@ -32,6 +32,8 @@ class CheckpointManager:
         step = int(state.step)
         if not force and (self.save_every <= 0 or step % self.save_every != 0):
             return False
+        if self._mgr.latest_step() == step:  # already saved (periodic + final)
+            return False
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
         return True
