@@ -174,12 +174,15 @@ def fence_template() -> ClassTemplate:
     names = ("bottom_left", "bottom_right", "top_left", "top_right", "top_mid", "bottom_mid")
     prims = [
         (BOX, [0.0, 0.0, 1.0], None, [hx, 0.02, hz]),
-        (CYLINDER, [-hx, 0.0, 1.0], None, [0.03, 1.0]),
-        (CYLINDER, [hx, 0.0, 1.0], None, [0.03, 1.0]),
-        # The stabilizer feet (0.9 m transverse, 0.14 m tall) are label-only:
-        # the AABB below includes them (the reference's 3D boxes do), but at
-        # DR range they subtend < 5 px and two extra sweep prims per panel
-        # cost ~15% of end-to-end datagen (40 boxes at n_fence_panels=20).
+        # The edge posts (r=0.03 cylinders at x = +-hx, z 0..2) and the
+        # stabilizer feet (0.9 m transverse, 0.14 m tall) are label-only:
+        # the AABB below includes them (the reference's 3D boxes do). The
+        # posts are geometrically coincident with the solid panel box — they
+        # protrude 0.01 m past its faces and 0.03 m past its width, sub-pixel
+        # beyond ~3 m — yet cost 40 of 116 sweep prims (2 per panel, 20
+        # panels); the feet subtend < 5 px at DR range and cost 40 more.
+        # Sweep prim count dominates datagen throughput (see CLAUDE.md), so
+        # both live only in the AABB/keypoint tables.
     ]
     return _template("fence", 2, prims, kpts, names,
                      ([-1.90, -0.45, 0.0], [1.90, 0.45, 2.0]), [0.55, 0.55, 0.58])
