@@ -62,6 +62,10 @@ def test_two_process_cpu_cluster():
     env = {**os.environ, "JAX_PLATFORM_NAME": "cpu",
            "XLA_FLAGS": ""}  # workers use 1 real CPU device each
     env.pop("JAX_PLATFORMS", None)
+    # Keep the axon sitecustomize from registering the tunneled TPU plugin:
+    # backend discovery initializes every registered plugin, so a wedged
+    # tunnel would hang the workers even with JAX_PLATFORM_NAME=cpu.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     procs = [
         subprocess.Popen([sys.executable, "-c", WORKER, coord, "2", str(r)],
                          cwd=REPO, env=env, stdout=subprocess.PIPE,
