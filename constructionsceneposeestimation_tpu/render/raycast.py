@@ -410,6 +410,12 @@ def _transform_categories(roster: world_mod.Roster):
       rotation on a yaw-only instance). Their intersection formulas use only
       z and the rotation invariants x^2+y^2, ox*dx+oy*dy, so world-frame
       o - pos and d can be fed directly.
+    * ``aa_id`` / ``aa_swap`` — boxes on STATIC axis-aligned instances
+      (fence panels; world.fence_default_yaw_deg is the shared contract):
+      no rotation at all — yaw 0 uses world components directly, yaw 90
+      swaps x/y (the box slab test is sign-invariant per axis, so the
+      permutation alone is exact). These also share ONE per-ray reciprocal
+      triple across the whole category instead of 3 divides per prim.
     * ``yaw``  — boxes with identity local rotation on a yaw-only instance:
       a 2D (cos, sin) rotation read off prim_rot replaces the 3x3 transform.
     * ``gen``  — everything else: full local-frame transform.
@@ -420,7 +426,7 @@ def _transform_categories(roster: world_mod.Roster):
     prim_inst = np.asarray(roster.prim_inst)
     if not hasattr(roster, "prim_rot") or not hasattr(roster, "inst_class_names"):
         # Minimal roster (unit-test fixtures): everything general.
-        return {"inv": [], "yaw": [],
+        return {"inv": [], "aa_id": [], "aa_swap": [], "yaw": [],
                 "gen": [(int(k), np.nonzero(kinds == k)[0])
                         for k in np.unique(kinds)]}
     local_identity = (
@@ -431,23 +437,46 @@ def _transform_categories(roster: world_mod.Roster):
         and roster.inst_class_names[prim_inst[p]] not in _GENERAL_ROT_CLASSES
         for p in range(kinds.shape[0])
     ])
+    f0, f1 = roster.fence_slice
+    fence_yaw = world_mod.fence_default_yaw_deg(f1 - f0)
     cat = np.empty(kinds.shape[0], dtype=object)
     for p in range(kinds.shape[0]):
         k = kinds[p]
-        if k == assets.SPHERE or (k == assets.PLANE and prim_inst[p] < 0):
+        inst = prim_inst[p]
+        if k == assets.SPHERE or (k == assets.PLANE and inst < 0):
             cat[p] = "inv"
         elif k in (assets.CYLINDER, assets.CONE) and local_identity[p] and yaw_only[p]:
             cat[p] = "inv"
+        elif (k == assets.BOX and local_identity[p]
+              and f0 <= inst < f1):  # static fence panel: yaw fixed at 0/90
+            cat[p] = "aa_id" if fence_yaw[inst - f0] == 0.0 else "aa_swap"
         elif k == assets.BOX and local_identity[p] and yaw_only[p]:
             cat[p] = "yaw"
         else:
             cat[p] = "gen"
     out = {}
-    for c in ("inv", "yaw", "gen"):
+    for c in ("inv", "aa_id", "aa_swap", "yaw", "gen"):
         sel = np.nonzero(cat == c)[0]
         groups = [(int(k), sel[kinds[sel] == k]) for k in np.unique(kinds[sel])]
         out[c] = [(k, idx) for k, idx in groups if idx.size]
     return out
+
+
+def _box_t_aa(o: Vec3, rinv: Vec3, params):
+    """Slab test for axis-aligned boxes with a SHARED per-ray reciprocal
+    triple: o components are per-prim scalars (g, 1), rinv components are
+    (1, N) planes — zero divides and zero transform flops per prim."""
+    tmin = None
+    tmax = None
+    for ax in range(3):
+        h = params[:, ax:ax + 1]
+        t1 = (-h - o[ax]) * rinv[ax]
+        t2 = (h - o[ax]) * rinv[ax]
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        tmin = lo if tmin is None else jnp.maximum(tmin, lo)
+        tmax = hi if tmax is None else jnp.minimum(tmax, hi)
+    return _valid_t(tmin, (tmax >= tmin) & (tmax > 0))
 
 
 def _sweep_packed_fast(cats, prim_rot, prim_pos, prim_params, prim_codes,
@@ -460,6 +489,20 @@ def _sweep_packed_fast(cats, prim_rot, prim_pos, prim_params, prim_codes,
     d0, d1, d2 = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
     best = jnp.full(n, INF)
     sh = _inv_shared((d0[None, :], d1[None, :], d2[None, :])) if cats["inv"] else None
+    if cats.get("aa_id") or cats.get("aa_swap"):
+        # One guarded reciprocal triple shared by every axis-aligned box
+        # (matches the generic _box_t guard exactly for equivalence).
+        rinv = tuple(
+            1.0 / jnp.where(jnp.abs(dc) < EPS, EPS, dc)[None, :]
+            for dc in (d0, d1, d2))
+        for cat_name, perm in (("aa_id", (0, 1, 2)), ("aa_swap", (1, 0, 2))):
+            for kind, idx in cats.get(cat_name, ()):
+                rel = ray_o[None, :] - prim_pos[idx]  # (g, 3) world frame
+                o = tuple(rel[:, a:a + 1] for a in perm)
+                ri = tuple(rinv[a] for a in perm)
+                t = _box_t_aa(o, ri, prim_params[idx])
+                best = jnp.minimum(
+                    best, jnp.min(_pack(t, prim_codes[idx][:, None]), axis=0))
     for kind, idx in cats["inv"]:
         rel = ray_o[None, :] - prim_pos[idx]  # (g, 3)
         o = (rel[:, 0:1], rel[:, 1:2], rel[:, 2:3])

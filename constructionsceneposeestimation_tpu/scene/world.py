@@ -199,6 +199,17 @@ class ScenePose:
         return cls(*leaves)
 
 
+def fence_default_yaw_deg(n_panels: int) -> np.ndarray:
+    """Static fence-panel yaws (degrees): x-running sides 0/1 get 0, the
+    y-running sides 90. The fence is NEVER re-posed (placement.randomize_scene
+    only moves crane/dumpers/humans/cones; sequences keep endpoint-A statics),
+    so this is a contract shared with render/raycast._transform_categories,
+    which bakes the 0/90 split into its axis-aligned sweep category."""
+    per_side = max(n_panels // 4, 1)
+    side = np.arange(n_panels) // per_side
+    return np.where(side <= 1, 0.0, 90.0).astype(np.float32)
+
+
 def default_pose(roster: Roster, cfg: SceneConfig = SceneConfig()) -> ScenePose:
     """The unrandomized world2-like layout: crane center, dumper at its
     original spot (generate_construction_data.py:794 'dumper position:
@@ -223,23 +234,21 @@ def default_pose(roster: Roster, cfg: SceneConfig = SceneConfig()) -> ScenePose:
         positions[i] = [cfg.tree_ring_radius * np.cos(ang), cfg.tree_ring_radius * np.sin(ang), 0.0]
     f0, f1 = roster.fence_slice
     per_side = max((f1 - f0) // 4, 1)
+    fence_yaw = fence_default_yaw_deg(f1 - f0)
     for j, i in enumerate(range(f0, f1)):
         side = j // per_side
         k = j % per_side
         span_x = np.linspace(-cfg.fence_half_x + 1.75, cfg.fence_half_x - 1.75, per_side)
         span_y = np.linspace(-cfg.fence_half_y + 1.75, cfg.fence_half_y - 1.75, per_side)
+        yaw[i] = fence_yaw[j]
         if side == 0:
             positions[i] = [span_x[k], -cfg.fence_half_y, 0.0]
-            yaw[i] = 0.0
         elif side == 1:
             positions[i] = [span_x[k], cfg.fence_half_y, 0.0]
-            yaw[i] = 0.0
         elif side == 2:
             positions[i] = [-cfg.fence_half_x, span_y[k], 0.0]
-            yaw[i] = 90.0
         else:
             positions[i] = [cfg.fence_half_x, span_y[k], 0.0]
-            yaw[i] = 90.0
 
     n_h = roster.human_slice[1] - roster.human_slice[0]
     return ScenePose(
