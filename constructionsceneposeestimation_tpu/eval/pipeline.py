@@ -155,8 +155,8 @@ def evaluate_human_pck(
         "pck_per_kpt": jnp.sum(correct, axis=(0, 1))
         / jnp.maximum(n_per_kpt, 1),
         "n_per_kpt": n_per_kpt,
-        "mean_px_error": jnp.sum(jnp.where(correct, d, 0.0))
-        / jnp.maximum(jnp.sum(correct), 1),
+        "mean_px_error": jnp.sum(jnp.where(valid, d, 0.0))
+        / jnp.maximum(n_eval, 1),
         "n_keypoints": n_eval,
     }
 

@@ -281,6 +281,7 @@ def resample_animated(
     positions = base_pose.positions
     yaw = base_pose.yaw_deg
     human_joints = base_pose.human_joints
+    human_ok = jnp.ones((n_humans,), bool)
     if n_humans > 0:
         placed_xy = base_diag["placed_xy"]
         placed_r = base_diag["placed_r"]
@@ -296,7 +297,7 @@ def resample_animated(
         placed_r = placed_r.at[h_slot0:h_slot0 + n_humans].set(_INACTIVE_R)
         human_keys = jax.random.split(keys[1], n_humans)
         carry = (placed_xy, placed_r, jnp.int32(h_slot0))
-        _, (human_xy, human_yaw, _ok) = jax.lax.scan(
+        _, (human_xy, human_yaw, human_ok) = jax.lax.scan(
             lambda c, k: _place_group(
                 c, k, jnp.float32(cfg.human_radius), cfg.human_range,
                 jnp.float32(cfg.fence_margin), 7.0, cfg),
@@ -310,7 +311,7 @@ def resample_animated(
             lambda k: kinematics.pose_human_joints(
                 canonical, kinematics.sample_human_pose(k)))(pose_keys)
 
-    return world_mod.ScenePose(
+    pose = world_mod.ScenePose(
         crane_pos=base_pose.crane_pos,
         crane_yaw_deg=base_pose.crane_yaw_deg,
         crane_joints=joints,
@@ -318,3 +319,7 @@ def resample_animated(
         yaw_deg=yaw,
         human_joints=human_joints,
     )
+    # human_ok False marks a reference-faithful clamped fallback (the
+    # rejection sampler gave up, matching generate_construction_data.py:
+    # 958-969); such placements are NOT clearance-guaranteed.
+    return pose, {"human_ok": human_ok}

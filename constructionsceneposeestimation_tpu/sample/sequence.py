@@ -92,7 +92,7 @@ def sample_sequence_endpoints(
     ka, kb = jax.random.split(key)
     pa, da = placement.randomize_scene(ka, roster, scene_cfg, rand_cfg,
                                        articulate_crane=True)
-    pb = placement.resample_animated(kb, roster, scene_cfg, rand_cfg, pa, da)
+    pb, _ = placement.resample_animated(kb, roster, scene_cfg, rand_cfg, pa, da)
     return pa, pb
 
 

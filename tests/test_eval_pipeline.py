@@ -178,3 +178,54 @@ def test_human_pck_floor():
     out_sa = eval_pipeline.evaluate_human_pck(
         batch, pipe.roster, stride=CFG.pipeline.heatmap_stride, use_dark=False)
     assert float(out_sa["pck"]) >= 0.5
+
+
+def test_match_boxes_to_instances_one_to_one():
+    """Greedy per-instance IoU assignment: above-threshold detections are
+    claimed at most once; unmatched slots keep the GT box but matched=False
+    (the multi-instance deployment hand-off, VERDICT round-2 item 4)."""
+    gt = jnp.asarray([[[0.0, 0.0, 10.0, 10.0],
+                       [20.0, 20.0, 30.0, 30.0]]])  # (1, 2, 4)
+    det = jnp.asarray([[[0.5, 0.0, 10.5, 10.0],     # near GT0
+                        [0.0, 0.5, 10.0, 10.5],     # also near GT0 (dup)
+                        [19.0, 20.0, 29.0, 30.0]]])  # near GT1
+    sc = jnp.asarray([[0.9, 0.8, 0.7]])
+    boxes, matched = eval_pipeline.match_boxes_to_instances(det, sc, gt)
+    assert matched.tolist() == [[True, True]]
+    # GT0 takes the best-IoU det (index 0), GT1 takes det 2 -- the duplicate
+    # det 1 is NOT recycled onto GT1.
+    np.testing.assert_allclose(np.asarray(boxes[0, 0]), np.asarray(det[0, 0]))
+    np.testing.assert_allclose(np.asarray(boxes[0, 1]), np.asarray(det[0, 2]))
+
+    # Below-threshold detections never match; slot falls back to the GT box.
+    sc_low = jnp.asarray([[0.1, 0.1, 0.9]])
+    boxes2, matched2 = eval_pipeline.match_boxes_to_instances(det, sc_low, gt)
+    assert matched2.tolist() == [[False, True]]
+    np.testing.assert_allclose(np.asarray(boxes2[0, 0]), np.asarray(gt[0, 0]))
+
+    # One detection cannot serve two instances even when its IoU clears
+    # min_iou for both (overlapping GT slots).
+    gt_near = jnp.asarray([[[0.0, 0.0, 10.0, 10.0],
+                            [2.0, 2.0, 12.0, 12.0]]])
+    det_one = jnp.asarray([[[1.0, 1.0, 11.0, 11.0]]])
+    sc_one = jnp.asarray([[0.9]])
+    _, m3 = eval_pipeline.match_boxes_to_instances(det_one, sc_one, gt_near)
+    assert int(jnp.sum(m3)) == 1
+
+
+def test_best_part_boxes_picks_argmax_per_part():
+    from constructionsceneposeestimation_tpu.ops import detect as detect_ops
+
+    C, D = len(detect_ops.DET_CLASSES), 3
+    rng = np.random.RandomState(0)
+    boxes = jnp.asarray(rng.uniform(0, 100, (2, C, D, 4)).astype(np.float32))
+    scores = jnp.asarray(rng.uniform(0, 1, (2, C, D)).astype(np.float32))
+    bb, bs = eval_pipeline.best_part_boxes(boxes, scores)
+    assert bb.shape == (2, 4, 4) and bs.shape == (2, 4)
+    for b in range(2):
+        for pi, part in enumerate(detect_ops.CRANE_PART_CLASSES):
+            ci = detect_ops.DET_CLASSES.index(part)
+            d = int(np.argmax(np.asarray(scores[b, ci])))
+            np.testing.assert_allclose(np.asarray(bb[b, pi]),
+                                       np.asarray(boxes[b, ci, d]))
+            assert float(bs[b, pi]) == float(scores[b, ci, d])

@@ -125,3 +125,51 @@ def test_sequence_metrics_synthetic():
     records[3]["detections"] = []
     out2 = sm.sequence_metrics(records, seq_len=4)
     assert out2["id_stability"] < 1.0
+
+
+def test_resample_animated_humans_avoid_base_statics():
+    """Endpoint-B workers must be collision-checked against endpoint A's
+    PLACED statics (crane/dumpers/cones), not a discarded endpoint-B layout
+    (round-2 advisor finding): at both clip endpoints every human clears
+    every active static slot by the sum of radii."""
+    from constructionsceneposeestimation_tpu.config import RandomizationConfig
+    from constructionsceneposeestimation_tpu.sample import placement
+    from constructionsceneposeestimation_tpu.scene import world as world_mod
+
+    scene_cfg = SceneConfig(n_cones=6, n_trees=2, n_fence_panels=8,
+                            n_humans=2, n_dumpers=2)
+    rand_cfg = RandomizationConfig()
+    roster = world_mod.make_roster(scene_cfg)
+    h0, h1 = roster.human_slice
+
+    n_checked = 0
+    for seed in range(6):
+        pa, da = placement.randomize_scene(
+            jax.random.PRNGKey(seed), roster, scene_cfg, rand_cfg,
+            articulate_crane=True)
+        pb, db = placement.resample_animated(
+            jax.random.PRNGKey(1000 + seed), roster, scene_cfg, rand_cfg,
+            pa, da)
+        placed_xy = np.asarray(da["placed_xy"])
+        placed_r = np.asarray(da["placed_r"])
+        # Static slots = everything active except the human slots (0=crane,
+        # then dumpers, then humans, then cones).
+        h_slot0 = 1 + scene_cfg.n_dumpers
+        static = placed_r > 0
+        static[h_slot0:h_slot0 + scene_cfg.n_humans] = False
+        assert static.sum() >= 1 + scene_cfg.n_dumpers  # crane + dumpers
+        # ok=False marks the reference's clamped-fallback placement
+        # (generate_construction_data.py:958-969) — clearance only holds
+        # for genuinely accepted samples.
+        for pose, ok in ((pa, np.asarray(da["human_ok"])),
+                         (pb, np.asarray(db["human_ok"]))):
+            hxy = np.asarray(pose.positions[h0:h1, :2])[ok]
+            if hxy.shape[0] == 0:
+                continue
+            n_checked += hxy.shape[0]
+            d = np.linalg.norm(
+                hxy[:, None] - placed_xy[None, static], axis=-1)
+            clearance = placed_r[None, static] + rand_cfg.human_radius
+            assert (d >= clearance - 1e-4).all(), (
+                seed, d - clearance)
+    assert n_checked >= 8  # the invariant was actually exercised
