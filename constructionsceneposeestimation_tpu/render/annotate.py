@@ -182,10 +182,13 @@ def render_frame(
                 np.minimum(np.maximum(np.abs(roster.inst_aabb_min[:, :2]),
                                       np.abs(roster.inst_aabb_max[:, :2]))
                            .max(-1), 2.0), jnp.float32)  # (O,)
-            d_xy = jnp.linalg.norm(
-                p_w[:, None, :2] - inst_pos[None, :, :2], axis=-1)  # (N, O)
-            prox = jnp.clip((d_xy - foot_r[None, :]) / 0.6, 0.0, 1.0)
-            ao_ground = 0.45 + 0.55 * jnp.min(prox, axis=1)
+            # SoA (O, N) planes: a (N, O, 2)-shaped difference would put the
+            # 2-vector on lanes (the tiling anti-pattern the sweep avoids).
+            dx = p_w[:, 0][None, :] - inst_pos[:, 0][:, None]  # (O, N)
+            dy = p_w[:, 1][None, :] - inst_pos[:, 1][:, None]
+            d_xy = jnp.sqrt(dx * dx + dy * dy)
+            prox = jnp.clip((d_xy - foot_r[:, None]) / 0.6, 0.0, 1.0)
+            ao_ground = 0.45 + 0.55 * jnp.min(prox, axis=0)
             ao = jnp.where(hit["inst"] == -1, ao_ground, 1.0)
         else:
             ao = None
@@ -209,22 +212,27 @@ def render_frame(
         rgb = jnp.zeros((H, W, 3), jnp.uint8)
 
     # Visible-instance set == the bbox_3d annotator's primPaths (1788-1790).
-    # Compare-and-sum fuses into the sweep epilogue (one_hot materializes
-    # ~40 MB/frame of int32 and costs ~10x more).
-    inst_flat = instance.reshape(-1)
-    eq = inst_flat[:, None] == jnp.arange(O, dtype=jnp.int32)[None, :]
-    inst_pixel_count = jnp.sum(eq, axis=0, dtype=jnp.int32)
+    # (O, H, W) layout — instances as the leading batch dim, pixels on the
+    # (sublane, lane) tile — so the compare matrix reduces along full lanes.
+    # The (H*W, O) layout pads O (~26) to 128 lanes, ~5x wasted VPU work, and
+    # one_hot materializes ~40 MB/frame of int32 and costs ~10x more.
+    ids = jnp.arange(O, dtype=jnp.int32)
+    eq3 = instance[None, :, :] == ids[:, None, None]  # (O, H, W)
+    inst_pixel_count = jnp.sum(eq3, axis=(1, 2), dtype=jnp.int32)
     inst_visible = inst_pixel_count > 0
 
-    # Pixel-tight 2D boxes from the same compare matrix (an extension beyond
-    # the reference's 3D-only labels; fuses into the sweep epilogue).
-    us = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)[:, None]
-    vs = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)[:, None]
+    # Pixel-tight 2D boxes (an extension beyond the reference's 3D-only
+    # labels): reduce the mask to row/column presence first, then min/max over
+    # the tiny (O, H)/(O, W) planes instead of 4 full-image reductions.
+    row_any = jnp.any(eq3, axis=2)  # (O, H)
+    col_any = jnp.any(eq3, axis=1)  # (O, W)
     big = jnp.int32(1 << 20)
-    u_min = jnp.min(jnp.where(eq, us, big), axis=0)
-    v_min = jnp.min(jnp.where(eq, vs, big), axis=0)
-    u_max = jnp.max(jnp.where(eq, us, -1), axis=0)
-    v_max = jnp.max(jnp.where(eq, vs, -1), axis=0)
+    hs = jnp.arange(H, dtype=jnp.int32)[None, :]
+    ws = jnp.arange(W, dtype=jnp.int32)[None, :]
+    u_min = jnp.min(jnp.where(col_any, ws, big), axis=1)
+    v_min = jnp.min(jnp.where(row_any, hs, big), axis=1)
+    u_max = jnp.max(jnp.where(col_any, ws, -1), axis=1)
+    v_max = jnp.max(jnp.where(row_any, hs, -1), axis=1)
     bbox2d = jnp.stack([u_min, v_min, u_max, v_max], -1)
     bbox2d = jnp.where(inst_visible[:, None], bbox2d, -1)
 
