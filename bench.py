@@ -44,11 +44,30 @@ def main() -> None:
     # of a scalar at the end forces the whole chain. This measures on-device
     # generation throughput, the production regime (writers overlap via
     # double buffering on a separate stream).
+    #
+    # EVERY modality is consumed by a FULL reduction: a partial consumer
+    # (e.g. only pointcloud_count, as this bench did before round 3) lets
+    # XLA dead-code-eliminate entire pipeline stages — the RGB shading path
+    # is elementwise per pixel, so even a strided-slice consumer can be
+    # partially elided. Rounds 1-2 effectively timed a depth-only program
+    # (restated in README.md).
+    def consume(b):
+        f32 = jnp.float32
+        fin = lambda x: jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0))
+        return (fin(b.depth) + jnp.sum(b.rgb.astype(f32))
+                + jnp.sum(b.instance).astype(f32) + jnp.sum(b.heatmaps)
+                + fin(b.kpt_uv) + jnp.sum(b.kpt_visible).astype(f32)
+                + jnp.sum(b.kpt_in_image).astype(f32)
+                + fin(b.center) + fin(b.size) + fin(b.euler_deg)
+                + jnp.sum(b.bbox2d).astype(f32) + fin(b.camera_pose7)
+                + jnp.sum(b.inst_pixel_count).astype(f32)
+                + jnp.sum(b.pointcloud_count).astype(f32))
+
     def step(carry, _):
         acc = carry
         seed = jax.random.fold_in(jax.random.PRNGKey(0), acc.astype(jnp.int32))
         batch = gen(seed, jnp.arange(BATCH))
-        return acc + jnp.sum(batch.pointcloud_count).astype(jnp.float32) * 1e-9, None
+        return acc + consume(batch) * 1e-12, None
 
     run = jax.jit(lambda a: jax.lax.scan(step, a, None, length=STEPS)[0])
     float(jax.block_until_ready(run(jnp.float32(0.0))))  # compile + warm-up

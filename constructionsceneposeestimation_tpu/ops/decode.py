@@ -27,13 +27,20 @@ def soft_argmax(heatmaps: Array, temperature: float | None = None):
     uv is in heatmap pixel units (multiply by the stride for image coords).
 
     ``temperature=None`` (default) uses the linear spatial expectation of the
-    non-negative heatmap — exact for unclipped Gaussian blobs. A float uses a
-    softmax at that temperature (sharper, but biased toward the max pixel).
+    background-suppressed heatmap: the per-map minimum is subtracted and
+    values below 20% of the per-map peak are zeroed, so an activation floor
+    or noise (e.g. the sigmoid background of a focal-trained net, ~0.05-0.3,
+    which otherwise drags the expectation to the map center and collapses
+    model-output PCK to ~0) is excluded while the kept blob core stays
+    symmetric — the expectation remains exact for unclipped Gaussian blobs.
+    A float ``temperature`` uses a softmax instead (sharper, but biased
+    toward the max pixel).
     """
     *_, H, W = heatmaps.shape
     flat = heatmaps.reshape(heatmaps.shape[:-2] + (H * W,))
     if temperature is None:
-        pos = jnp.maximum(flat, 0.0)
+        base = flat - jnp.min(flat, -1, keepdims=True)
+        pos = jnp.maximum(base - 0.2 * jnp.max(base, -1, keepdims=True), 0.0)
         p = pos / jnp.maximum(jnp.sum(pos, -1, keepdims=True), 1e-9)
     else:
         p = jax.nn.softmax(temperature * flat, axis=-1)

@@ -55,19 +55,6 @@ class FrameAnnotations(NamedTuple):
     pointcloud_count: Array  # () int32 — valid-depth pixel count (quality gate)
 
 
-def screen_space_normals(positions: Array, ray_dirs: Array) -> Array:
-    """World-space normals from finite differences of the hit-position grid
-    (H, W, 3) — replaces the per-ray primitive-gather normal phase, which
-    costs ~10x the whole ray sweep on TPU. Exact on flat interiors; only
-    silhouette pixels differ from analytic normals."""
-    dx = jnp.diff(positions, axis=1, append=positions[:, -1:])
-    dy = jnp.diff(positions, axis=0, append=positions[-1:, :])
-    n = jnp.cross(dy, dx)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
-    flip = jnp.sum(n * ray_dirs, -1, keepdims=True) > 0
-    return jnp.where(flip, -n, n)
-
-
 def render_frame(
     roster: world_mod.Roster,
     caster,
@@ -141,38 +128,73 @@ def render_frame(
                t=jnp.where(clipped.reshape(-1), jnp.inf, hit["t"]))
 
     if shade_rgb:
-        if "normal" not in hit:
-            t_safe = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
-            positions = (origin[None, :] + t_safe[:, None] * rd).reshape(H, W, 3)
-            normals = screen_space_normals(positions, dirs).reshape(-1, 3)
-            hit = dict(hit, normal=normals)
-        # Albedo table rows: [0..O) instances, O ground, O+1 sky (unused).
+        # Everything below runs on SoA component PLANES — (N,) x/y/z and
+        # r/g/b — never (N, 3) vectors (trailing-3 pads to the 128-lane tile:
+        # ~43x wasted VPU/HBM per materialized intermediate; see shading.py).
+        t_safe = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
+        rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+        pwx = origin[0] + t_safe * rdx  # world hit position planes
+        pwy = origin[1] + t_safe * rdy
+        pwz = origin[2] + t_safe * rdz
+        if "normal" in hit:  # analytic-normal caster path
+            normal = (hit["normal"][:, 0], hit["normal"][:, 1],
+                      hit["normal"][:, 2])
+        else:
+            nx, ny, nz = sh.screen_space_normals(
+                (pwx.reshape(H, W), pwy.reshape(H, W), pwz.reshape(H, W)),
+                (rdx.reshape(H, W), rdy.reshape(H, W), rdz.reshape(H, W)))
+            normal = (nx.reshape(-1), ny.reshape(-1), nz.reshape(-1))
+        O_ = roster.num_instances
+        # Per-pixel table rows — albedo (+ local rotation/position/class for
+        # textures) — come from ONE one-hot MXU contraction against a packed
+        # (O+2, C) table. A dynamic gather here (table[alb_idx] at 262k
+        # indices) lowers to the scalar-gather path and costs ~14x the whole
+        # ray sweep (the documented TPU anti-pattern; measured 493 -> 50 ms
+        # per 64-frame batch at 512^2 when removed).
         albedo_table = jnp.concatenate(
             [jnp.asarray(roster.inst_albedo),
              jnp.asarray([[0.45, 0.40, 0.35], [0.0, 0.0, 0.0]], jnp.float32)]
-        )
-        O_ = roster.num_instances
-        alb_idx = jnp.where(hit["inst"] >= 0, hit["inst"], O_ - 1 - hit["inst"])  # -1->O, -2->O+1
-        albedo = albedo_table[alb_idx]
-        lighting = lighting if lighting is not None else sh.default_lighting()
+        )  # rows: [0..O) instances, O ground, O+1 sky (unused)
+        alb_idx = jnp.where(hit["inst"] >= 0, hit["inst"], O_ - 1 - hit["inst"])
         if procedural_textures:
-            # Hit position in the owning instance's LOCAL frame: patterns
-            # (cone bands, crane stripes, vest) ride the object under DR.
-            # Tables padded with identity/zero rows for ground (-1)/sky (-2).
+            # Packed per-instance table: [albedo(3) | R row-major(9) |
+            # pos(3) | class(1)]. Ground (-1) / sky (-2) rows get identity
+            # rotation, zero offset, class -1/-2.
             rot_table = jnp.concatenate(
                 [inst_rot.reshape(O_, 9),
                  jnp.broadcast_to(jnp.eye(3).reshape(1, 9), (2, 9))])
             pos_table = jnp.concatenate([inst_pos, jnp.zeros((2, 3))])
             cls_table = jnp.concatenate(
-                [jnp.asarray(roster.inst_class_id, jnp.int32),
-                 jnp.asarray([-1, -2], jnp.int32)])
-            t_safe3 = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
-            p_w = origin[None, :] + t_safe3[:, None] * rd
-            R_px = rot_table[alb_idx].reshape(-1, 3, 3)
-            d_w = p_w - pos_table[alb_idx]
-            p_local = jnp.einsum("nji,nj->ni", R_px, d_w)
-            albedo = sh.procedural_albedo(
-                albedo, p_local, cls_table[alb_idx], lighting)
+                [jnp.asarray(roster.inst_class_id, jnp.float32),
+                 jnp.asarray([-1.0, -2.0], jnp.float32)])
+            table = jnp.concatenate(
+                [albedo_table, rot_table, pos_table, cls_table[:, None]], 1)
+        else:
+            table = albedo_table
+        onehot = (alb_idx[None, :]
+                  == jnp.arange(O_ + 2, dtype=jnp.int32)[:, None])
+        px_tab = _einsum("co,on->cn", table.T,
+                         onehot.astype(jnp.float32))  # (C, N), exact in f32
+        albedo = (px_tab[0], px_tab[1], px_tab[2])
+        lighting = lighting if lighting is not None else sh.default_lighting()
+        if procedural_textures:
+            # Hit position in the owning instance's LOCAL frame: patterns
+            # (cone bands, crane stripes, vest) ride the object under DR.
+            # l_i = sum_j R[j, i] * (p_w - pos)_j with R row-major at rows
+            # 3..11 of the packed table (R^T, world -> local).
+            dxw = pwx - px_tab[12]
+            dyw = pwy - px_tab[13]
+            dzw = pwz - px_tab[14]
+            lx = px_tab[3] * dxw + px_tab[6] * dyw + px_tab[9] * dzw
+            ly = px_tab[4] * dxw + px_tab[7] * dyw + px_tab[10] * dzw
+            lz = px_tab[5] * dxw + px_tab[8] * dyw + px_tab[11] * dzw
+            albedo = sh.procedural_albedo(albedo, lx, ly, lz, px_tab[15],
+                                          lighting)
+            # Force ONE evaluation of the pattern chain: the three RGB
+            # fusion roots in shade() otherwise each re-compute the full
+            # albedo DAG (sqrt/sin/floor + ~24 selects) — measured 1.35x on
+            # the end-to-end pipeline (69 -> 51 ms per 64-frame batch).
+            albedo = jax.lax.optimization_barrier(albedo)
             # Contact AO on ground pixels: ambient falls off toward each
             # instance's footprint (cheap grounding cue; the hard sun shadow
             # is the optional sun_shadows sweep).
@@ -183,9 +205,11 @@ def render_frame(
                                       np.abs(roster.inst_aabb_max[:, :2]))
                            .max(-1), 2.0), jnp.float32)  # (O,)
             # SoA (O, N) planes: a (N, O, 2)-shaped difference would put the
-            # 2-vector on lanes (the tiling anti-pattern the sweep avoids).
-            dx = p_w[:, 0][None, :] - inst_pos[:, 0][:, None]  # (O, N)
-            dy = p_w[:, 1][None, :] - inst_pos[:, 1][:, None]
+            # 2-vector on lanes (the tiling anti-pattern the sweep avoids);
+            # XLA fuses the plane chain into the min-reduction, so nothing
+            # (O, N)-sized ever materializes.
+            dx = pwx[None, :] - inst_pos[:, 0][:, None]  # (O, N)
+            dy = pwy[None, :] - inst_pos[:, 1][:, None]
             d_xy = jnp.sqrt(dx * dx + dy * dy)
             prox = jnp.clip((d_xy - foot_r[:, None]) / 0.6, 0.0, 1.0)
             ao_ground = 0.45 + 0.55 * jnp.min(prox, axis=0)
@@ -197,17 +221,17 @@ def render_frame(
             # One packed sweep from the hit points toward the sun. Shadow-ray
             # origins differ per pixel, so this can't ride the camera sweep;
             # it costs roughly one extra sweep (~1.5 ms at 512x512).
-            t_safe2 = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
-            p_hit = origin[None, :] + t_safe2[:, None] * rd
+            p_hit = jnp.stack([pwx, pwy, pwz], -1)
             sun_d = -lighting.sun_dir  # toward the sun
             bias = 1e-3
             shadow_hit = caster.fast_multi_origin(
                 world, p_hit + sun_d[None, :] * bias,
                 jnp.broadcast_to(sun_d, p_hit.shape))
             shadow_t = shadow_hit["t"]
-        rgb = sh.shade(hit, origin, rd, albedo, lighting, shadow_t,
-                       ao=ao).reshape(H, W, 3)
-        rgb = sh.linear_to_srgb_u8(rgb)
+        rgb_planes = sh.shade(hit["t"], normal, (pwx, pwy, pwz),
+                              (rdx, rdy, rdz), albedo, lighting, shadow_t,
+                              ao=ao)
+        rgb = sh.linear_to_srgb_u8(rgb_planes, H, W)
     else:
         rgb = jnp.zeros((H, W, 3), jnp.uint8)
 

@@ -7,16 +7,23 @@ to an ambient term plus one directional sun; the sky background is the dome
 color (the reason the reference added the dome: black-sky renders, 1292-1294).
 Albedo gets a cheap hash-noise texture so domain-randomized images aren't
 flat-shaded (BASELINE.json config 2 texture jitter).
+
+TPU layout: every function here works on structure-of-arrays COMPONENT PLANES
+— (N,) r/g/b and x/y/z arrays — never (N, 3) vectors. A trailing dim of 3
+pads to the 128-lane tile (~43x wasted VPU work and HBM on every materialized
+intermediate); the shading epilogue runs ~6x faster in SoA (v5e, 512x512).
+The only (H, W, 3) tensor is the final uint8 image.
 """
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+Planes3 = Tuple[Array, Array, Array]
 
 
 class Lighting(NamedTuple):
@@ -44,10 +51,10 @@ def default_lighting() -> Lighting:
     )
 
 
-def _hash_noise(p: Array, scale: float = 7.0) -> Array:
-    """Cheap value noise from hit position (N, 3) -> (N,) in [0, 1)."""
-    q = jnp.sin(p[..., 0] * 12.9898 * scale + p[..., 1] * 78.233 * scale
-                + p[..., 2] * 37.719 * scale)
+def _hash_noise(x: Array, y: Array, z: Array, scale: float = 7.0) -> Array:
+    """Cheap value noise from hit-position planes -> (N,) in [0, 1)."""
+    q = jnp.sin(x * (12.9898 * scale) + y * (78.233 * scale)
+                + z * (37.719 * scale))
     return jnp.abs(q * 43758.5453) % 1.0
 
 
@@ -58,12 +65,17 @@ _TRUNK_BROWN = (0.30, 0.20, 0.10)
 _CAB_GRAY = (0.35, 0.38, 0.40)
 
 
+def _override(rgb: Planes3, mask: Array, color) -> Planes3:
+    return tuple(jnp.where(mask, jnp.float32(c), ch)
+                 for ch, c in zip(rgb, color))
+
+
 def procedural_albedo(
-    albedo: Array,  # (N, 3) base per-ray color
-    p_local: Array,  # (N, 3) hit position in the OWNING INSTANCE's frame
-    class_id: Array,  # (N,) taxonomy class of the hit instance (-1 ground)
+    albedo: Planes3,  # per-ray base color planes, (N,) each
+    x: Array, y: Array, z: Array,  # hit position in the OWNING INSTANCE frame
+    class_id: Array,  # (N,) f32 taxonomy class of the hit instance (-1 ground)
     lighting: Lighting,
-) -> Array:
+) -> Planes3:
     """Class-conditioned procedural texturing (sim-to-real pass).
 
     The reference renders MDL materials — striped traffic cones, a hi-vis
@@ -72,91 +84,118 @@ def procedural_albedo(
     frame so patterns ride the object under DR: cone reflective bands, crane
     boom/telescopic hazard stripes, dumper cab two-tone + grime, fence wire
     grid, tree trunk/foliage split, worker vest. All selections are
-    elementwise ``where``s — XLA fuses them into the shading epilogue.
+    elementwise ``where``s on component planes — XLA fuses them into the
+    shading epilogue. ``class_id`` arrives as f32 (it rides the one-hot table
+    contraction in annotate.render_frame; small ints are exact in f32).
     Class ids per scene/taxonomy: cone 0, tree 1, fence 2, dumper 4,
     human 5, crane base/column/boom/telescopic 6-9."""
-    x, y, z = p_local[..., 0], p_local[..., 1], p_local[..., 2]
     r_xy = jnp.sqrt(x * x + y * y)
     phase = lighting.tex_phase
-
-    def col(c):
-        return jnp.asarray(c, jnp.float32)
 
     out = albedo
     # Traffic cone: two white reflective bands.
     band = ((z > 0.28) & (z < 0.40)) | ((z > 0.50) & (z < 0.58))
-    out = jnp.where(((class_id == 0) & band)[..., None], col(_WHITE), out)
+    out = _override(out, (class_id == 0.0) & band, _WHITE)
     # Tree: brown trunk below the canopy, foliage keeps the base green.
-    trunk = (class_id == 1) & (r_xy < 0.45) & (z < 3.2)
-    out = jnp.where(trunk[..., None], col(_TRUNK_BROWN), out)
+    trunk = (class_id == 1.0) & (r_xy < 0.45) & (z < 3.2)
+    out = _override(out, trunk, _TRUNK_BROWN)
     # Fence: wire-mesh grid modulation (35 cm cells, slight darkening).
     grid = (jnp.sin(x * 18.0) * jnp.sin(z * 18.0)) > 0.0
-    out = jnp.where(((class_id == 2) & grid)[..., None], out * 0.75, out)
+    fence_dark = (class_id == 2.0) & grid
+    out = tuple(jnp.where(fence_dark, ch * 0.75, ch) for ch in out)
     # Dumper: gray cab ahead of the bed + wheel-arch grime below 0.55 m.
-    cab = (class_id == 4) & (x > 1.2) & (z > 0.6)
-    out = jnp.where(cab[..., None], col(_CAB_GRAY), out)
-    grime = (class_id == 4) & (z < 0.55)
-    out = jnp.where(grime[..., None], out * (1.0 - 0.5 * lighting.dirt), out)
+    cab = (class_id == 4.0) & (x > 1.2) & (z > 0.6)
+    out = _override(out, cab, _CAB_GRAY)
+    grime = (class_id == 4.0) & (z < 0.55)
+    dirt_mul = 1.0 - 0.5 * lighting.dirt
+    out = tuple(jnp.where(grime, ch * dirt_mul, ch) for ch in out)
     # Worker: hi-vis vest over the torso + two reflective stripes.
-    vest = (class_id == 5) & (z > 1.02) & (z < 1.48)
-    out = jnp.where(vest[..., None], col(_HIVIS), out)
-    stripe_h = (class_id == 5) & (((z > 1.10) & (z < 1.16))
-                                  | ((z > 1.30) & (z < 1.36)))
-    out = jnp.where(stripe_h[..., None], col(_WHITE), out)
+    vest = (class_id == 5.0) & (z > 1.02) & (z < 1.48)
+    out = _override(out, vest, _HIVIS)
+    stripe_h = (class_id == 5.0) & (((z > 1.10) & (z < 1.16))
+                                    | ((z > 1.30) & (z < 1.36)))
+    out = _override(out, stripe_h, _WHITE)
     # Crane boom/telescopic: alternating red/white hazard stripes along the
     # member axis (local +X), 0.5 m pitch, DR phase.
     stripes = (jnp.floor(x * 2.0 + phase) % 2.0) < 1.0
-    boom_tel = (class_id == 8) | (class_id == 9)
-    out = jnp.where((boom_tel & stripes)[..., None], col(_WHITE), out)
-    out = jnp.where((boom_tel & ~stripes)[..., None], col(_SIGNAL_RED), out)
+    boom_tel = (class_id == 8.0) | (class_id == 9.0)
+    out = _override(out, boom_tel & stripes, _WHITE)
+    out = _override(out, boom_tel & ~stripes, _SIGNAL_RED)
     return out
 
 
 def shade(
-    hit: Dict[str, Array],
-    ray_o: Array,
-    ray_d: Array,
-    albedo: Array,
+    t: Array,  # (N,) hit distance, +inf on miss
+    normal: Planes3,  # (N,) world-frame normal planes
+    hit_pos: Planes3,  # (N,) world-frame hit position planes
+    ray_d: Planes3,  # (N,) ray direction planes
+    albedo: Planes3,  # (N,) base color planes
     lighting: Lighting,
     shadow_t: Array | None = None,
     texture_strength: float = 0.15,
     ao: Array | None = None,
-) -> Array:
-    """Shade rays -> linear RGB in [0, 1], (N, 3).
+) -> Planes3:
+    """Shade rays -> linear RGB planes in [0, 1], (N,) each.
 
-    hit: raycast output dict (t, inst, normal). albedo: per-ray base color
-    (N, 3). shadow_t: optional occlusion distances toward the sun (INF = lit).
+    shadow_t: optional occlusion distances toward the sun (INF = lit).
     ao: optional (N,) ambient-occlusion factor in [0, 1] (contact shadows).
     """
-    n = hit["normal"]
-    t = hit["t"]
+    nx, ny, nz = normal
     is_hit = jnp.isfinite(t)
-    p = ray_o[None, :] + jnp.where(is_hit, t, 0.0)[..., None] * ray_d
 
     tex = 1.0 + texture_strength * lighting.tex_strength \
-        * (_hash_noise(p) - 0.5) * 2.0
-    albedo = albedo * tex[..., None]
+        * (_hash_noise(*hit_pos) - 0.5) * 2.0
 
-    ndotl = jnp.maximum(-jnp.sum(n * lighting.sun_dir, -1), 0.0)
-    lit = jnp.ones_like(ndotl) if shadow_t is None else (shadow_t >= 1e9).astype(jnp.float32)
+    sd = lighting.sun_dir
+    ndotl = jnp.maximum(-(nx * sd[0] + ny * sd[1] + nz * sd[2]), 0.0)
+    lit = (jnp.ones_like(ndotl) if shadow_t is None
+           else (shadow_t >= 1e9).astype(jnp.float32))
     direct = lighting.sun_intensity * ndotl * lit
 
     # Hemispheric ambient: brighter for up-facing normals.
-    sky_frac = 0.5 * (1.0 + n[..., 2])
+    sky_frac = 0.5 * (1.0 + nz)
     ambient = lighting.dome_intensity * (0.25 + 0.35 * sky_frac)
     if ao is not None:
         ambient = ambient * ao
 
-    color = albedo * (direct[..., None] + ambient[..., None] * lighting.dome_color)
-
     # Sky background: dome color with a horizon-to-zenith gradient.
-    up = jnp.clip(ray_d[..., 2], 0.0, 1.0)[..., None]
-    sky = lighting.dome_color * (0.85 + 0.15 * up) * jnp.maximum(lighting.dome_intensity, 0.3)
-    color = jnp.where(is_hit[..., None], color, sky)
-    return jnp.clip(color, 0.0, 1.0)
+    up = jnp.clip(ray_d[2], 0.0, 1.0)
+    sky_base = (0.85 + 0.15 * up) * jnp.maximum(lighting.dome_intensity, 0.3)
+
+    out = []
+    for ch, alb in enumerate(albedo):
+        color = (alb * tex) * (direct + ambient * lighting.dome_color[ch])
+        color = jnp.where(is_hit, color, lighting.dome_color[ch] * sky_base)
+        out.append(jnp.clip(color, 0.0, 1.0))
+    return tuple(out)
 
 
-def linear_to_srgb_u8(rgb: Array) -> Array:
-    """Tone-map linear RGB [0,1] -> uint8 sRGB-ish (gamma 2.2)."""
-    g = jnp.power(jnp.clip(rgb, 0.0, 1.0), 1.0 / 2.2)
-    return jnp.round(g * 255.0).astype(jnp.uint8)
+def screen_space_normals(pos: Planes3, ray_d: Planes3) -> Planes3:
+    """World-space normal planes from finite differences of the (H, W)
+    hit-position planes — replaces the per-ray primitive-gather normal phase,
+    which costs ~10x the whole ray sweep on TPU. Exact on flat interiors;
+    only silhouette pixels differ from analytic normals."""
+    def d_along(p, axis):
+        app = p[:, -1:] if axis == 1 else p[-1:, :]
+        return jnp.diff(p, axis=axis, append=app)
+
+    # n = dy x dx (dy = d/drow, dx = d/dcol), matching the original
+    # jnp.cross(dy, dx) of the (H, W, 3) formulation.
+    dxx, dxy, dxz = (d_along(p, 1) for p in pos)
+    dyx, dyy, dyz = (d_along(p, 0) for p in pos)
+    nx = dyy * dxz - dyz * dxy
+    ny = dyz * dxx - dyx * dxz
+    nz = dyx * dxy - dyy * dxx
+    inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-18))
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    flip = nx * ray_d[0] + ny * ray_d[1] + nz * ray_d[2] > 0
+    sgn = jnp.where(flip, -1.0, 1.0)
+    return nx * sgn, ny * sgn, nz * sgn
+
+
+def linear_to_srgb_u8(rgb: Planes3, h: int, w: int) -> Array:
+    """Tone-map linear RGB planes [0,1] -> (H, W, 3) uint8 sRGB-ish
+    (gamma 2.2). The stack is the ONLY trailing-3 tensor on the RGB path."""
+    chans = [jnp.round(jnp.power(jnp.clip(c, 0.0, 1.0), 1.0 / 2.2) * 255.0)
+             .astype(jnp.uint8).reshape(h, w) for c in rgb]
+    return jnp.stack(chans, axis=-1)
