@@ -25,7 +25,7 @@ from constructionsceneposeestimation_tpu.config import Config, PipelineConfig
 from constructionsceneposeestimation_tpu.parallel import pipeline as pipeline_mod
 
 REFERENCE_FPS = 0.15
-BATCH = 512  # with vmap_chunk=8: best measured throughput on v5e (~1.9k fps)
+BATCH = 512  # batch x vmap_chunk sweep (docs/PERFORMANCE.md): 512 x 8 best
 STEPS = 4
 
 
