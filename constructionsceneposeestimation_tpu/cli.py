@@ -345,7 +345,8 @@ def cmd_train_detect(args) -> None:
     )
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
-    model = detect_loop.make_detect_model(lite=args.lite)
+    model = detect_loop.make_detect_model(
+        lite=args.lite, output_stride=getattr(args, "det_stride", 4))
     from .train import loop as train_loop
     state = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed))
     mgr = None
@@ -475,7 +476,8 @@ def cmd_infer(args) -> None:
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
 
-    det_model = detect_loop.make_detect_model()
+    det_model = detect_loop.make_detect_model(
+        output_stride=getattr(args, "det_stride", 4))
     det_state = train_loop.create_train_state(cfg, det_model, jax.random.PRNGKey(0))
     m = checkpoint.CheckpointManager(args.det_ckpt, save_every=0)
     det_state = m.restore(det_state); m.close()
@@ -770,6 +772,9 @@ def main() -> None:
     td.add_argument("--crane-crop-ckpt", default=None,
                     help="per-part crane crop checkpoint: report the full "
                          "detector-part-boxes -> FK-solve crane path")
+    td.add_argument("--det-stride", type=int, default=4, choices=[2, 4],
+                    help="detector output stride: 2 doubles map resolution "
+                         "for small classes (human/cone) at ~2x head cost")
     td.add_argument("--crane-stride", type=int, default=4, choices=[2, 4],
                     help="output stride the crane crop ckpt was trained at")
     td.add_argument("--n-dumpers", type=int, default=1,
@@ -782,6 +787,8 @@ def main() -> None:
     inf = sub.add_parser("infer", help="deployment inference: detector -> "
                                        "crop -> 6DoF pose JSON lines")
     inf.add_argument("--det-ckpt", required=True)
+    inf.add_argument("--det-stride", type=int, default=4, choices=[2, 4],
+                     help="must match the det-ckpt's training stride")
     inf.add_argument("--crop-ckpt", required=True)
     inf.add_argument("--crane-crop-ckpt", default=None,
                      help="per-part crane crop checkpoint: adds articulated "

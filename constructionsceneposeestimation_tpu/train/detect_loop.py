@@ -19,9 +19,13 @@ from . import loop as base_loop
 Array = jax.Array
 
 
-def make_detect_model(lite: bool = False):
+def make_detect_model(lite: bool = False, output_stride: int = 4):
+    """``output_stride=2`` doubles detection-map resolution (256^2 at a
+    512^2 input): a worker at 25 m subtends ~12 px, i.e. ~3 stride-4 cells —
+    too coarse for reliable center/size regression on small classes."""
     C = len(detect_ops.DET_CLASSES)
-    return pose_net.make_model(num_channels=C + 4, lite=lite)
+    return pose_net.make_model(num_channels=C + 4, lite=lite,
+                               output_stride=output_stride)
 
 
 def extended_inst_classes(roster) -> jnp.ndarray:
