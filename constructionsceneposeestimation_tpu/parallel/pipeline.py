@@ -64,7 +64,8 @@ class Pipeline:
 
     def __post_init__(self):
         self.roster = world_mod.make_roster(self.cfg.scene)
-        self.caster = raycast.make_raycaster(self.roster)
+        self.caster = raycast.make_raycaster(self.roster,
+                                             scene_cfg=self.cfg.scene)
         pc = self.cfg.pipeline
         self.intr = cam_mod.intrinsics_from_apertures(
             self.cfg.camera.focal_length, self.cfg.camera.horizontal_aperture,

@@ -199,17 +199,27 @@ def render_frame(
             # instance's footprint (cheap grounding cue; the hard sun shadow
             # is the optional sun_shadows sweep).
             # Footprint radius capped at 2 m: airborne spans (crane boom)
-            # must not darken half the yard.
+            # must not darken half the yard. Fence panels are excluded from
+            # the proximity chain: their 0.45 m footprint sits at the yard
+            # boundary where contact shading is invisible at DR range, yet
+            # fence rows would be half of the (O, N) chain (the AO chain
+            # costs ~1/6 of the whole RGB tier at O=40).
+            f0, f1 = getattr(roster, "fence_slice", (O_, O_))
+            ao_rows = np.concatenate(
+                [np.arange(f0), np.arange(f1, O_)]).astype(np.int32)
+            if ao_rows.size == 0:  # degenerate all-fence roster
+                ao_rows = np.arange(O_, dtype=np.int32)
             foot_r = jnp.asarray(
-                np.minimum(np.maximum(np.abs(roster.inst_aabb_min[:, :2]),
-                                      np.abs(roster.inst_aabb_max[:, :2]))
-                           .max(-1), 2.0), jnp.float32)  # (O,)
-            # SoA (O, N) planes: a (N, O, 2)-shaped difference would put the
+                np.minimum(np.maximum(np.abs(roster.inst_aabb_min[ao_rows, :2]),
+                                      np.abs(roster.inst_aabb_max[ao_rows, :2]))
+                           .max(-1), 2.0), jnp.float32)  # (A,)
+            pos_ao = inst_pos[ao_rows]  # static-row gather, (A, 3)
+            # SoA (A, N) planes: a (N, A, 2)-shaped difference would put the
             # 2-vector on lanes (the tiling anti-pattern the sweep avoids);
             # XLA fuses the plane chain into the min-reduction, so nothing
-            # (O, N)-sized ever materializes.
-            dx = pwx[None, :] - inst_pos[:, 0][:, None]  # (O, N)
-            dy = pwy[None, :] - inst_pos[:, 1][:, None]
+            # (A, N)-sized ever materializes.
+            dx = pwx[None, :] - pos_ao[:, 0][:, None]  # (A, N)
+            dy = pwy[None, :] - pos_ao[:, 1][:, None]
             d_xy = jnp.sqrt(dx * dx + dy * dy)
             prox = jnp.clip((d_xy - foot_r[:, None]) / 0.6, 0.0, 1.0)
             ao_ground = 0.45 + 0.55 * jnp.min(prox, axis=0)

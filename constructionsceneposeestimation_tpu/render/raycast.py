@@ -140,14 +140,27 @@ def _cone_t(o: Vec3, d: Vec3, params):
 
 
 def _capsule_t(o: Vec3, d: Vec3, params):
+    # Side tube + two end balls. The flat cap discs of the generic cylinder
+    # test are strictly inside the closed end balls (|xy| <= r at z = +-hh is
+    # within distance r of the ball center), so a ray always crosses the ball
+    # boundary first — the discs can never be the nearest hit and are skipped.
     r, hh = params[:, 0:1], params[:, 1:2]
-    t_best = _cylinder_t(o, d, params)
-    a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    a2 = d[0] * d[0] + d[1] * d[1]
+    b2 = o[0] * d[0] + o[1] * d[1]
+    c2 = o[0] * o[0] + o[1] * o[1] - r * r
+    a2_safe = jnp.where(a2 < EPS, EPS, a2)
+    disc2 = b2 * b2 - a2_safe * c2
+    sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+    t_side = (-b2 - sq2) / a2_safe
+    z_side = o[2] + t_side * d[2]
+    t_best = _valid_t(t_side, (disc2 > 0) & (jnp.abs(z_side) <= hh)
+                      & (a2 >= EPS))
+    a = a2 + d[2] * d[2]
     a_safe = jnp.maximum(a, EPS)
     for sign in (-1.0, 1.0):
         ocz = o[2] - sign * hh
-        b = o[0] * d[0] + o[1] * d[1] + ocz * d[2]
-        c = o[0] * o[0] + o[1] * o[1] + ocz * ocz - r * r
+        b = b2 + ocz * d[2]
+        c = c2 + ocz * ocz
         disc = b * b - a_safe * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t_best = jnp.minimum(t_best, _valid_t((-b - sq) / a_safe, disc > 0))
@@ -418,6 +431,11 @@ def _transform_categories(roster: world_mod.Roster):
       triple across the whole category instead of 3 divides per prim.
     * ``yaw``  — boxes with identity local rotation on a yaw-only instance:
       a 2D (cos, sin) rotation read off prim_rot replaces the 3x3 transform.
+    * ``axis`` — capsules with ARBITRARY orientation (the posed human rig):
+      a capsule is a surface of revolution, so the intersection needs only
+      the axial/radial decomposition of the ray — axis dot products instead
+      of the full 3x3 local transform (~half the flops of ``gen``; the
+      9-capsule human is the single largest block of the construction sweep).
     * ``gen``  — everything else: full local-frame transform.
 
     Returns {cat: [(kind, prim_idx_array), ...]}.
@@ -426,7 +444,7 @@ def _transform_categories(roster: world_mod.Roster):
     prim_inst = np.asarray(roster.prim_inst)
     if not hasattr(roster, "prim_rot") or not hasattr(roster, "inst_class_names"):
         # Minimal roster (unit-test fixtures): everything general.
-        return {"inv": [], "aa_id": [], "aa_swap": [], "yaw": [],
+        return {"inv": [], "aa_id": [], "aa_swap": [], "yaw": [], "axis": [],
                 "gen": [(int(k), np.nonzero(kinds == k)[0])
                         for k in np.unique(kinds)]}
     local_identity = (
@@ -452,14 +470,56 @@ def _transform_categories(roster: world_mod.Roster):
             cat[p] = "aa_id" if fence_yaw[inst - f0] == 0.0 else "aa_swap"
         elif k == assets.BOX and local_identity[p] and yaw_only[p]:
             cat[p] = "yaw"
+        elif k == assets.CAPSULE:
+            cat[p] = "axis"
         else:
             cat[p] = "gen"
     out = {}
-    for c in ("inv", "aa_id", "aa_swap", "yaw", "gen"):
+    for c in ("inv", "aa_id", "aa_swap", "yaw", "axis", "gen"):
         sel = np.nonzero(cat == c)[0]
         groups = [(int(k), sel[kinds[sel] == k]) for k in np.unique(kinds[sel])]
         out[c] = [(k, idx) for k, idx in groups if idx.size]
     return out
+
+
+def _aa_slab_plan(roster: world_mod.Roster, cats, scene_cfg):
+    """Shared-slab plan for the static axis-aligned fence categories.
+
+    Panels of one fence side share their transverse and vertical slab
+    intervals, and parallel sides share the same along-axis spans, so each
+    unique (world_axis, offset, half-extent) slab is computed once per ray
+    instead of once per panel (~40% of the fence sweep's flops at 5 panels
+    per side). Grouping is by VALUE at the roster's default pose; validity
+    rests on the static-fence contract (world.fence_default_yaw_deg: panels
+    are never re-posed), which the fast-vs-generic equivalence test pins.
+
+    Returns {(cat_name, group_i): (ids (g, 3) slab index per prim per local
+    axis, slabs [(world_axis, rep_prim, local_axis), ...])}, or None.
+    """
+    if scene_cfg is None or not (cats.get("aa_id") or cats.get("aa_swap")):
+        return None
+    pose0 = world_mod.default_pose(roster, scene_cfg)
+    world0 = world_mod.build_world(roster, pose0)
+    pos0 = np.asarray(world0["prim_pos"])
+    params = np.asarray(roster.prim_params)
+    plan = {}
+    for cat_name, perm in (("aa_id", (0, 1, 2)), ("aa_swap", (1, 0, 2))):
+        for gi, (kind, idx) in enumerate(cats.get(cat_name, ())):
+            slabs = []  # (world_axis, representative prim, local_axis)
+            keymap = {}
+            ids = np.zeros((len(idx), 3), np.int32)
+            for la in range(3):
+                wa = perm[la]
+                for pi, p in enumerate(idx):
+                    key = (wa, round(float(pos0[p, wa]), 5),
+                           round(float(params[p, la]), 5))
+                    if key not in keymap:
+                        keymap[key] = len(slabs)
+                        slabs.append((wa, int(p), la))
+                    ids[pi, la] = keymap[key]
+            if len(slabs) < 3 * len(idx):  # sharing actually exists
+                plan[(cat_name, gi)] = (ids, slabs)
+    return plan or None
 
 
 def _box_t_aa(o: Vec3, rinv: Vec3, params):
@@ -480,7 +540,7 @@ def _box_t_aa(o: Vec3, rinv: Vec3, params):
 
 
 def _sweep_packed_fast(cats, prim_rot, prim_pos, prim_params, prim_codes,
-                      ray_o, ray_d):
+                      ray_o, ray_d, slab_plan=None):
     """Transform-aware packed sweep (shared origin). Skips or shrinks the
     local-frame transform per static category (_transform_categories); ~60%
     of the generic sweep's flops on the construction scene (110 prims: 51
@@ -496,11 +556,32 @@ def _sweep_packed_fast(cats, prim_rot, prim_pos, prim_params, prim_codes,
             1.0 / jnp.where(jnp.abs(dc) < EPS, EPS, dc)[None, :]
             for dc in (d0, d1, d2))
         for cat_name, perm in (("aa_id", (0, 1, 2)), ("aa_swap", (1, 0, 2))):
-            for kind, idx in cats.get(cat_name, ()):
-                rel = ray_o[None, :] - prim_pos[idx]  # (g, 3) world frame
-                o = tuple(rel[:, a:a + 1] for a in perm)
-                ri = tuple(rinv[a] for a in perm)
-                t = _box_t_aa(o, ri, prim_params[idx])
+            for gi, (kind, idx) in enumerate(cats.get(cat_name, ())):
+                entry = (slab_plan or {}).get((cat_name, gi))
+                if entry is not None:
+                    # Shared slabs (_aa_slab_plan): each unique axis slab is
+                    # computed once, prims combine 3 precomputed intervals.
+                    ids, slabs = entry
+                    los, his = [], []
+                    for wa, rep, la in slabs:
+                        o_rep = ray_o[wa] - prim_pos[rep, wa]
+                        h_rep = prim_params[rep, la]
+                        t1 = (-h_rep - o_rep) * rinv[wa][0]
+                        t2 = (h_rep - o_rep) * rinv[wa][0]
+                        los.append(jnp.minimum(t1, t2))
+                        his.append(jnp.maximum(t1, t2))
+                    tmin = jnp.stack([
+                        jnp.maximum(jnp.maximum(los[i0], los[i1]), los[i2])
+                        for i0, i1, i2 in ids])
+                    tmax = jnp.stack([
+                        jnp.minimum(jnp.minimum(his[i0], his[i1]), his[i2])
+                        for i0, i1, i2 in ids])
+                    t = _valid_t(tmin, (tmax >= tmin) & (tmax > 0))
+                else:
+                    rel = ray_o[None, :] - prim_pos[idx]  # (g, 3) world frame
+                    o = tuple(rel[:, a:a + 1] for a in perm)
+                    ri = tuple(rinv[a] for a in perm)
+                    t = _box_t_aa(o, ri, prim_params[idx])
                 best = jnp.minimum(
                     best, jnp.min(_pack(t, prim_codes[idx][:, None]), axis=0))
     for kind, idx in cats["inv"]:
@@ -522,6 +603,48 @@ def _sweep_packed_fast(cats, prim_rot, prim_pos, prim_params, prim_codes,
              d2[None, :])
         t = _KIND_FNS[kind](o, d, prim_params[idx])
         best = jnp.minimum(best, jnp.min(_pack(t, prim_codes[idx][:, None]), axis=0))
+    if cats.get("axis"):
+        # Arbitrarily-oriented capsules (the posed human rig): a capsule is a
+        # surface of revolution, so only the axial/radial decomposition of
+        # the ray is needed — oz/dz along the axis plus rotation-invariant
+        # residuals — instead of the full 3x3 local transform (one axis dot
+        # product per prim vs 9 madds; ~half the flops of the gen path).
+        # End balls replace cap discs (see _capsule_t). Valid for
+        # unnormalized directions: all terms scale consistently with |d|.
+        dd = d0 * d0 + d1 * d1 + d2 * d2  # (N,) |d|^2, shared by all prims
+        rdd = (1.0 / jnp.maximum(dd, EPS))[None, :]  # shared reciprocal
+        rod = ray_o[0] * d0 + ray_o[1] * d1 + ray_o[2] * d2  # (N,) o . d
+        for kind, idx in cats["axis"]:
+            rot = prim_rot[idx]
+            ax = rot[:, :, 2]  # (g, 3) capsule axis, world frame
+            cc = prim_pos[idx]  # (g, 3)
+            rel = ray_o[None, :] - cc
+            r, hh = prim_params[idx][:, 0:1], prim_params[idx][:, 1:2]
+            oz = jnp.sum(rel * ax, -1, keepdims=True)  # (g, 1)
+            oo = jnp.sum(rel * rel, -1, keepdims=True)  # (g, 1)
+            dz = (ax[:, 0:1] * d0[None, :] + ax[:, 1:2] * d1[None, :]
+                  + ax[:, 2:3] * d2[None, :])  # (g, N)
+            od = rod[None, :] - (cc[:, 0:1] * d0[None, :]
+                                 + cc[:, 1:2] * d1[None, :]
+                                 + cc[:, 2:3] * d2[None, :])  # (g, N) rel . d
+            a2 = dd[None, :] - dz * dz
+            b2 = od - oz * dz
+            c2 = oo - oz * oz - r * r  # (g, 1) radial^2 - r^2 at the origin
+            a2_safe = jnp.where(a2 < EPS, EPS, a2)
+            disc2 = b2 * b2 - a2_safe * c2
+            sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+            t_side = (-b2 - sq2) / a2_safe
+            z_side = oz + t_side * dz
+            t = _valid_t(t_side, (disc2 > 0) & (jnp.abs(z_side) <= hh)
+                         & (a2 >= EPS))
+            for sign in (-1.0, 1.0):
+                bs = od - (sign * hh) * dz
+                cs = oo - (2.0 * sign) * hh * oz + hh * hh - r * r  # (g, 1)
+                disc = bs * bs - dd[None, :] * cs
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t = jnp.minimum(t, _valid_t((-bs - sq) * rdd, disc > 0))
+            best = jnp.minimum(
+                best, jnp.min(_pack(t, prim_codes[idx][:, None]), axis=0))
     for kind, idx in cats["gen"]:
         o, d = _to_local_soa(ray_o, ray_d, prim_rot[idx], prim_pos[idx])
         t = _KIND_FNS[kind](o, d, prim_params[idx])
@@ -531,7 +654,7 @@ def _sweep_packed_fast(cats, prim_rot, prim_pos, prim_params, prim_codes,
 
 
 def make_raycaster(roster: world_mod.Roster, chunk: int = 16384,
-                   transform_aware: bool = True):
+                   transform_aware: bool = True, scene_cfg=None):
     """Build a jittable ray-caster with per-kind primitive groups baked in.
 
     Returns ``cast(world, ray_o (3,), ray_d (N, 3)) -> dict`` with
@@ -540,11 +663,14 @@ def make_raycaster(roster: world_mod.Roster, chunk: int = 16384,
 
     ``transform_aware`` (default) routes the packed fast path through the
     static transform categories; disable to force the generic SoA sweep
-    (equivalence-tested in tests/test_raycast.py).
+    (equivalence-tested in tests/test_raycast.py). ``scene_cfg`` additionally
+    enables the shared-slab fence plan (_aa_slab_plan) — pass the
+    SceneConfig the roster was built from.
     """
     kinds_np = np.asarray(roster.prim_kind)
     groups = [(int(k), np.nonzero(kinds_np == k)[0]) for k in np.unique(kinds_np)]
     cats = _transform_categories(roster) if transform_aware else None
+    slab_plan = _aa_slab_plan(roster, cats, scene_cfg) if cats else None
     # Payload codes for the packed fast path: inst + 2 (miss=0, ground=1).
     prim_codes_np = np.asarray(roster.prim_inst) + 2
     assert prim_codes_np.max() <= _PAYLOAD_MASK, (
@@ -599,7 +725,7 @@ def make_raycaster(roster: world_mod.Roster, chunk: int = 16384,
                 return _sweep_packed_fast(cats, world["prim_rot"],
                                           world["prim_pos"],
                                           world["prim_params"], prim_codes,
-                                          ray_o, rd)
+                                          ray_o, rd, slab_plan=slab_plan)
             return _sweep_packed(groups, world["prim_rot"], world["prim_pos"],
                                  world["prim_params"], prim_codes, ray_o, rd)
 

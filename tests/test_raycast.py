@@ -209,7 +209,10 @@ def test_transform_aware_sweep_matches_generic():
 
     cfg = Config(scene=SceneConfig(n_cones=3, n_trees=2, n_fence_panels=6))
     roster = world_mod.make_roster(cfg.scene)
-    fast = raycast.make_raycaster(roster, transform_aware=True)
+    # scene_cfg enables the shared-slab fence plan — the fast path under test
+    # is exactly the production pipeline configuration.
+    fast = raycast.make_raycaster(roster, transform_aware=True,
+                                  scene_cfg=cfg.scene)
     slow = raycast.make_raycaster(roster, transform_aware=False)
     intr = cam_mod.intrinsics_from_apertures(12.0, 25.0, 96, 96)
 
