@@ -352,12 +352,20 @@ def evaluate_crop_6dof(
     solve, ADD.
 
     ``min_box_px`` drops frames whose box is smaller than a detector would
-    report (sliver visibility through occluders)."""
+    report (sliver visibility through occluders).
+
+    With multiple roster instances of ``class_name`` (--n-dumpers 2) and a
+    real detector box, the box is associated per frame to the GT instance it
+    overlaps most — comparing the best-scoring detection against instance 0
+    unconditionally scored the pose against the WRONG dumper in half the
+    frames (measured ADD mean 5.8 m ~= the inter-dumper distance)."""
     from ..models import pose_net
     from ..ops import crop as crop_ops
     from ..ops import preprocess
 
-    o = list(roster.inst_class_names).index(class_name)
+    idxs = [i for i, n in enumerate(roster.inst_class_names)
+            if n == class_name]
+    o = idxs[0]
     tpl = assets.all_templates()[class_name]
     K = tpl.num_keypoints
     model_pts = jnp.asarray(tpl.keypoints)
@@ -365,6 +373,13 @@ def evaluate_crop_6dof(
 
     bbox = (boxes.astype(jnp.float32) if boxes is not None
             else batch.bbox2d[:, o].astype(jnp.float32))
+    sel = None
+    if boxes is not None and len(idxs) > 1:
+        ii = jnp.asarray(idxs)
+        gtb = batch.bbox2d[:, ii].astype(jnp.float32)  # (B, I, 4)
+        iou = _iou(bbox[:, None, :], gtb)  # (B, I)
+        iou = jnp.where(batch.inst_visible[:, ii], iou, -1.0)
+        sel = jnp.argmax(iou, axis=1)  # (B,) GT instance per frame
     cu, cv, half = crop_ops.square_roi(bbox)
 
     def one(rgb, cu1, cv1, h1):
@@ -388,11 +403,21 @@ def evaluate_crop_6dof(
         jnp.broadcast_to(model_pts, (B,) + model_pts.shape), x, w,
         R_wp, pose7[..., :3])
 
-    R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
+    if sel is None:
+        R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
+        vis_o = batch.inst_visible[:, o]
+    else:
+        Rs, ts = zip(*(gt_camera_frame_pose(roster, batch, i) for i in idxs))
+        R_all = jnp.stack(Rs, 1)  # (B, I, 3, 3)
+        t_all = jnp.stack(ts, 1)  # (B, I, 3)
+        R_gt = jnp.take_along_axis(R_all, sel[:, None, None, None], 1)[:, 0]
+        t_gt = jnp.take_along_axis(t_all, sel[:, None, None], 1)[:, 0]
+        vis_o = jnp.take_along_axis(
+            batch.inst_visible[:, jnp.asarray(idxs)], sel[:, None], 1)[:, 0]
     add = metrics.add_metric(res.R, res.t, R_gt, t_gt, model_pts)
     dia = metrics.model_diameter(model_pts)
     box_px = jnp.maximum(bbox[:, 2] - bbox[:, 0], bbox[:, 3] - bbox[:, 1])
-    detectable = batch.inst_visible[:, o] & (box_px >= min_box_px)
+    detectable = vis_o & (box_px >= min_box_px)
     valid = res.valid & detectable
     px2n = 1.0 / float(intr.fx)
     accepted = (valid & (res.rmse <= rmse_gate_px * px2n)
@@ -771,8 +796,11 @@ def evaluate_crop_crane_6dof(
     adds, add01s = [], []
     for pi, name in enumerate(part_names):
         o = s0 + pi
-        mask = roster.inst_kpt_valid[o][:Kp]  # host-side numpy mask
-        model_pts = jnp.asarray(roster.inst_kpts[o, :Kp][mask])
+        # ADD over the part's geometry (AABB corners), not its learned
+        # keypoints — axis keypoints under-span revolution parts and would
+        # shrink the 0.1d threshold (see metrics.aabb_corners).
+        model_pts = metrics.aabb_corners(roster.inst_aabb_min[o],
+                                         roster.inst_aabb_max[o])
         add = metrics.add_metric(res.R[:, pi], res.t[:, pi],
                                  *gt_camera_frame_pose(roster, batch, o),
                                  model_pts)
@@ -851,7 +879,9 @@ def evaluate_crane_6dof(
     add01s = []
     for pi, name in enumerate(part_names):
         o = s0 + pi
-        model_pts = kpts_local[pi][kpt_valid[pi]]
+        # Geometry-based ADD points, matching evaluate_crop_crane_6dof.
+        model_pts = metrics.aabb_corners(roster.inst_aabb_min[o],
+                                         roster.inst_aabb_max[o])
         R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
         add = metrics.add_metric(res.R[:, pi], res.t[:, pi], R_gt, t_gt, model_pts)
         dia = metrics.model_diameter(model_pts)

@@ -62,13 +62,16 @@ def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     def crane_merged_boxes(batch):
         return crane_extended_boxes(batch, pipe.roster)
 
+    cls_w = jnp.asarray(detect_ops.CLASS_LOSS_WEIGHTS, jnp.float32)
+
     def loss_fn(params, images, bbox, vis):
         pred = pose_net.forward(model, params, images)  # (B, C+4, h, w)
 
         def one(p, b, v):
             tgt = detect_ops.build_targets(b, v, inst_cls, hm_h, hm_w,
                                            float(stride))
-            loss, aux = detect_ops.detection_loss(p, *tgt)
+            loss, aux = detect_ops.detection_loss(p, *tgt,
+                                                  class_weights=cls_w)
             return loss
         per = jax.vmap(one)(pred, bbox, vis)
         return jnp.mean(per)

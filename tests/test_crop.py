@@ -214,3 +214,59 @@ def test_evaluate_crop_6dof_runs_and_gt_floor():
     n = int(out["n_accepted"])
     if n > 0:
         assert float(out["add_0_1d"]) > 0.7, {k: float(v) for k, v in out.items()}
+
+
+def test_single_box_eval_associates_gt_instance():
+    """A detector box covering the SECOND dumper must be scored against the
+    second dumper's GT pose, not instance 0's (regression: 2-dumper scenes
+    scored ADD mean ~5.8 m — the inter-dumper distance)."""
+    from constructionsceneposeestimation_tpu.config import (
+        Config as C2, PipelineConfig as P2, SceneConfig as S2,
+    )
+    from constructionsceneposeestimation_tpu.eval import pipeline as ep
+    import constructionsceneposeestimation_tpu.models.pose_net as pn
+    from constructionsceneposeestimation_tpu.ops import crop as crop_ops
+    from constructionsceneposeestimation_tpu.ops import heatmap as hm_ops
+    from constructionsceneposeestimation_tpu.scene import assets as assets_mod
+    import constructionsceneposeestimation_tpu.parallel.pipeline as pm
+
+    cfg = C2(scene=S2(n_cones=1, n_trees=1, n_fence_panels=2, n_dumpers=2),
+             pipeline=P2(render_width=96, render_height=96))
+    pipe = pm.Pipeline(cfg, vmap_chunk=4)
+    gen = jax.jit(pipe.make_generate_fn(ladder=True))
+    batch = gen(jax.random.PRNGKey(6), jnp.arange(4))
+    idxs = [i for i, n in enumerate(pipe.roster.inst_class_names)
+            if n == "dumper"]
+    assert len(idxs) == 2
+    o1 = idxs[1]
+    K = assets_mod.all_templates()["dumper"].num_keypoints
+    boxes = batch.bbox2d[:, o1].astype(jnp.float32)  # "detections" = dumper 1
+    cu, cv, half = crop_ops.square_roi(boxes)
+
+    def tgt_one(c1, v1, h1, kuv, kvis):
+        uvc = crop_ops.uv_to_crop(kuv, c1, v1, h1, 64)
+        inside = ((uvc[..., 0] >= 0) & (uvc[..., 0] < 64)
+                  & (uvc[..., 1] >= 0) & (uvc[..., 1] < 64))
+        return hm_ops.render_heatmaps(uvc, jnp.arange(K, dtype=jnp.int32),
+                                      kvis & inside, K, 16, 16, 1.0, 4.0)
+
+    tgts = jax.vmap(tgt_one)(cu, cv, half, batch.kpt_uv[:, o1, :K],
+                             batch.kpt_visible[:, o1, :K])
+
+    class FakeModel:
+        output_stride = 4
+
+    orig = pn.forward
+    pn.forward = lambda m, p, im: jnp.log(
+        jnp.clip(tgts, 1e-4, 1 - 1e-4) / (1 - jnp.clip(tgts, 1e-4, 1 - 1e-4)))
+    try:
+        out = ep.evaluate_crop_6dof(batch, pipe.roster, pipe.intr,
+                                    FakeModel(), None, "dumper", 64,
+                                    boxes=boxes)
+    finally:
+        pn.forward = orig
+    if int(out["n_accepted"]) > 0:
+        assert float(out["add_mean"]) < 1.0, {
+            k: float(v) for k, v in out.items()}
+        assert float(out["add_0_1d"]) > 0.7, {
+            k: float(v) for k, v in out.items()}

@@ -68,6 +68,45 @@ def test_detection_loss_perfect_prediction_is_small():
     assert float(bad_loss) > 5 * float(loss)
 
 
+def test_class_weights_scale_focal_term():
+    """Upweighting a class's channel scales its center-heatmap loss without
+    touching the regression terms."""
+    bbox = jnp.asarray([[8.0, 8.0, 40.0, 32.0]])
+    vis = jnp.asarray([True])
+    hci = det_ops.DET_CLASSES.index("human")
+    cls = jnp.asarray([hci], jnp.int32)
+    tgt = det_ops.build_targets(bbox, vis, cls, 16, 16, 4.0)
+    C = len(det_ops.DET_CLASSES)
+    pred = jnp.zeros((C + 4, 16, 16))  # uniform wrong-ish logits
+    base, aux0 = det_ops.detection_loss(pred, *tgt)
+    w = jnp.ones(C).at[hci].set(4.0)
+    up, aux1 = det_ops.detection_loss(pred, *tgt, class_weights=w)
+    assert float(aux1["hm"]) > float(aux0["hm"])
+    assert float(aux1["size_l1"]) == float(aux0["size_l1"])
+    # All-channel scaling multiplies the focal term exactly.
+    allw, _ = det_ops.detection_loss(pred, *tgt, class_weights=jnp.full(C, 3.0))
+    np.testing.assert_allclose(float(allw - base), 2.0 * float(aux0["hm"]),
+                               rtol=1e-4)  # f32 sum order
+
+
+def test_nms_window_scales_with_stride():
+    """At stride 2 the default suppression window widens to 5 cells (same
+    ~4 image-px radius as CenterNet's 3x3 at stride 4): two peaks 2 cells
+    apart collapse to one detection (both survive the 3x3 window)."""
+    C = len(det_ops.DET_CLASSES)
+    h = w = 16
+    hm = jnp.full((C, h, w), -8.0)
+    ci = det_ops.DET_CLASSES.index("dumper")
+    hm = hm.at[ci, 8, 6].set(4.0).at[ci, 8, 8].set(3.0)  # 2 cells apart
+    pred = jnp.concatenate([hm, jnp.ones((4, h, w))], 0)
+    # stride 2 default (k=5): the weaker twin is suppressed.
+    _, s2 = det_ops.decode_detections(pred, 2.0, max_det=4)
+    assert float(s2[ci, 0]) > 0.9 and float(s2[ci, 1]) < 0.5, s2[ci]
+    # explicit k=3 keeps both local maxima.
+    _, s3 = det_ops.decode_detections(pred, 2.0, max_det=4, nms_k=3)
+    assert float(s3[ci, 1]) > 0.9, s3[ci]
+
+
 def test_detect_train_step_decreases_loss():
     cfg = Config(
         scene=SceneConfig(n_cones=1, n_trees=1, n_fence_panels=2),
