@@ -30,7 +30,8 @@ def cmd_generate(args) -> None:
         batch_size=args.batch, max_iterations=args.frames, seed=args.seed,
     ))
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8,
+        hifi_mesh=getattr(args, "hifi", False))
     want_hms = args.format == "packed" and args.heatmaps
     if getattr(args, "sequence_len", 0):
         gen = jax.jit(pipe.make_sequence_fn(args.sequence_len,
@@ -474,7 +475,8 @@ def cmd_infer(args) -> None:
     cfg = Config(pipeline=PipelineConfig(render_width=args.size,
                                          render_height=args.size))
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8,
+        hifi_mesh=getattr(args, "hifi", False))
 
     det_model = detect_loop.make_detect_model(
         output_stride=getattr(args, "det_stride", 4))
@@ -679,6 +681,10 @@ def main() -> None:
     g.add_argument("--sequence-len", type=int, default=0,
                    help="N>0: temporally-coherent N-frame clips (crane/worker "
                         "animation + camera flight) instead of i.i.d. frames")
+    g.add_argument("--hifi", action="store_true",
+                   help="render cone/fence/tree with baked CAD triangle "
+                        "templates (render/meshcast.py) instead of analytic "
+                        "proxies — mesh-faithful silhouettes, slower")
     g.add_argument("--verbose", action="store_true")
     g.set_defaults(fn=cmd_generate)
 
@@ -809,6 +815,9 @@ def main() -> None:
                           "(pairs with seq-eval)")
     inf.add_argument("--crane-stride", type=int, default=4, choices=[2, 4],
                      help="output stride the crane crop ckpt was trained at")
+    inf.add_argument("--hifi", action="store_true",
+                     help="run the detector on hifi CAD-mesh renders (sim-to-"
+                          "sim transfer: models are trained on proxies)")
 
     se = sub.add_parser("seq-eval", help="temporal metrics over infer JSONL "
                                          "from sequence-mode clips")

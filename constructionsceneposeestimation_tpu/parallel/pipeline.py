@@ -61,11 +61,22 @@ class Pipeline:
     cfg: Config
     use_pallas_heatmaps: bool = False
     vmap_chunk: int = 4
+    # Hifi mesh mode: baked CAD triangle templates (render/meshcast.py)
+    # replace the analytic proxies for the classes the reference crate
+    # authors geometry for. Labels/keypoints stay template-based (PARITY.md
+    # calibration deltas apply); depth / instance / RGB silhouettes become
+    # mesh-faithful. Opt-in: ~an order of magnitude more intersection work.
+    hifi_mesh: bool = False
 
     def __post_init__(self):
         self.roster = world_mod.make_roster(self.cfg.scene)
-        self.caster = raycast.make_raycaster(self.roster,
-                                             scene_cfg=self.cfg.scene)
+        if self.hifi_mesh:
+            from ..render import meshcast
+            self.caster = meshcast.make_hifi_caster(self.roster,
+                                                    scene_cfg=self.cfg.scene)
+        else:
+            self.caster = raycast.make_raycaster(self.roster,
+                                                 scene_cfg=self.cfg.scene)
         pc = self.cfg.pipeline
         self.intr = cam_mod.intrinsics_from_apertures(
             self.cfg.camera.focal_length, self.cfg.camera.horizontal_aperture,

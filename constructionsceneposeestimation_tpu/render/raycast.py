@@ -654,7 +654,8 @@ def _sweep_packed_fast(cats, prim_rot, prim_pos, prim_params, prim_codes,
 
 
 def make_raycaster(roster: world_mod.Roster, chunk: int = 16384,
-                   transform_aware: bool = True, scene_cfg=None):
+                   transform_aware: bool = True, scene_cfg=None,
+                   prim_mask: np.ndarray | None = None):
     """Build a jittable ray-caster with per-kind primitive groups baked in.
 
     Returns ``cast(world, ray_o (3,), ray_d (N, 3)) -> dict`` with
@@ -665,11 +666,22 @@ def make_raycaster(roster: world_mod.Roster, chunk: int = 16384,
     static transform categories; disable to force the generic SoA sweep
     (equivalence-tested in tests/test_raycast.py). ``scene_cfg`` additionally
     enables the shared-slab fence plan (_aa_slab_plan) — pass the
-    SceneConfig the roster was built from.
+    SceneConfig the roster was built from. ``prim_mask`` (P,) bool keeps only
+    the masked-True prims in the sweep (the hifi mesh path excludes proxies
+    it replaces; render/meshcast.py).
     """
     kinds_np = np.asarray(roster.prim_kind)
     groups = [(int(k), np.nonzero(kinds_np == k)[0]) for k in np.unique(kinds_np)]
     cats = _transform_categories(roster) if transform_aware else None
+    if prim_mask is not None:
+        keep = np.asarray(prim_mask, bool)
+        groups = [(k, idx[keep[idx]]) for k, idx in groups]
+        groups = [(k, idx) for k, idx in groups if idx.size]
+        if cats is not None:
+            cats = {c: [(k, idx[keep[idx]]) for k, idx in lst]
+                    for c, lst in cats.items()}
+            cats = {c: [(k, idx) for k, idx in lst if idx.size]
+                    for c, lst in cats.items()}
     slab_plan = _aa_slab_plan(roster, cats, scene_cfg) if cats else None
     # Payload codes for the packed fast path: inst + 2 (miss=0, ground=1).
     prim_codes_np = np.asarray(roster.prim_inst) + 2
