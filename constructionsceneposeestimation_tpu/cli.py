@@ -379,7 +379,15 @@ def cmd_train_detect(args) -> None:
     if mgr is not None:
         mgr.close()
 
-    gen = jax.jit(pipe.make_generate_fn(ladder=args.eval_ladder))
+    eval_pipe = pipe
+    if getattr(args, "hifi_eval", False):
+        # Sim-to-sim transfer: models are trained on analytic proxies; the
+        # eval frames render the baked CAD meshes (render/meshcast.py).
+        eval_pipe = pipeline_mod.Pipeline(
+            cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+            vmap_chunk=8, hifi_mesh=True)
+        print("eval frames: hifi CAD-mesh renders (proxy-trained models)")
+    gen = jax.jit(eval_pipe.make_generate_fn(ladder=args.eval_ladder))
     eval_seed = jax.random.PRNGKey(args.seed + 1000)
     batch = gen(eval_seed, jnp.arange(args.eval_frames))
     det = eval_pipeline.evaluate_detector(batch, pipe.roster, model, state.params)
@@ -788,6 +796,9 @@ def main() -> None:
                          "also reports the multi-instance two-stage path")
     td.add_argument("--eval-ladder", action="store_true")
     td.add_argument("--camera-mix", type=float, default=0.0)
+    td.add_argument("--hifi-eval", action="store_true",
+                    help="evaluate on hifi CAD-mesh renders (sim-to-sim "
+                         "transfer gap for proxy-trained models)")
     td.set_defaults(fn=cmd_train_detect)
 
     inf = sub.add_parser("infer", help="deployment inference: detector -> "
