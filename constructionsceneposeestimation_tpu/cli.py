@@ -338,7 +338,8 @@ def cmd_train_detect(args) -> None:
 
     from .config import SceneConfig
     cfg = Config(
-        scene=SceneConfig(n_dumpers=getattr(args, "n_dumpers", 1)),
+        scene=SceneConfig(n_dumpers=getattr(args, "n_dumpers", 1),
+                          n_humans=getattr(args, "n_humans", 1)),
         pipeline=PipelineConfig(render_width=args.size, render_height=args.size),
         train=TrainConfig(batch_size=args.batch, steps=max(args.steps, 1),
                           loss="focal",
@@ -791,6 +792,9 @@ def main() -> None:
                          "for small classes (human/cone) at ~2x head cost")
     td.add_argument("--crane-stride", type=int, default=4, choices=[2, 4],
                     help="output stride the crane crop ckpt was trained at")
+    td.add_argument("--n-humans", type=int, default=1,
+                    help="workers per training/eval scene (more positives "
+                         "for the small-class detector head)")
     td.add_argument("--n-dumpers", type=int, default=1,
                     help="train/eval scenes with N dumpers; with --crop-ckpt "
                          "also reports the multi-instance two-stage path")
