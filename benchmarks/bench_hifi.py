@@ -34,11 +34,14 @@ def consume(b):
 
 
 def measure(hifi: bool, batch: int, vmap_chunk: int = 8) -> float:
+    # Hifi runs UNVMAPPED (chunk 1): the mesh sweep's tile cull is a dynamic
+    # while_loop whose trip count becomes the max over the batch under vmap
+    # (render/meshcast.py header), which erodes most of the cull.
     cfg = Config(pipeline=PipelineConfig(render_width=512, render_height=512,
                                          batch_size=batch))
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
-        vmap_chunk=vmap_chunk, hifi_mesh=hifi)
+        vmap_chunk=1 if hifi else vmap_chunk, hifi_mesh=hifi)
     gen = pipe.make_generate_fn(ladder=False)
 
     def step(acc, _):
@@ -54,7 +57,10 @@ def measure(hifi: bool, batch: int, vmap_chunk: int = 8) -> float:
 
 
 def main() -> None:
-    for hifi, batch in ((False, 128), (True, 128)):
+    # hifi batch is smaller: one chained device program must stay well under
+    # the axon tunnel's execution watchdog (the pre-cull sweep at batch 128
+    # ran minutes and was killed as a "TPU device error").
+    for hifi, batch in ((False, 128), (True, 32)):
         fps = measure(hifi, batch)
         print(json.dumps({
             "metric": "annotated_512x512_frames_per_sec_per_chip",

@@ -65,15 +65,19 @@ class Pipeline:
     # replace the analytic proxies for the classes the reference crate
     # authors geometry for. Labels/keypoints stay template-based (PARITY.md
     # calibration deltas apply); depth / instance / RGB silhouettes become
-    # mesh-faithful. Opt-in: ~an order of magnitude more intersection work.
+    # mesh-faithful. Opt-in — and best run with ``vmap_chunk=1``: the mesh
+    # sweep's tile-grained instance cull is a dynamic while_loop whose trip
+    # count becomes the max over the batch under vmap (meshcast.py header).
     hifi_mesh: bool = False
 
     def __post_init__(self):
         self.roster = world_mod.make_roster(self.cfg.scene)
         if self.hifi_mesh:
             from ..render import meshcast
-            self.caster = meshcast.make_hifi_caster(self.roster,
-                                                    scene_cfg=self.cfg.scene)
+            pc0 = self.cfg.pipeline
+            self.caster = meshcast.make_hifi_caster(
+                self.roster, scene_cfg=self.cfg.scene,
+                grid_hw=(pc0.render_height, pc0.render_width))
         else:
             self.caster = raycast.make_raycaster(self.roster,
                                                  scene_cfg=self.cfg.scene)
@@ -194,7 +198,11 @@ class Pipeline:
                 return ann, hms
 
             ch = min(self.vmap_chunk, B)
-            if B % ch == 0 and B > ch:
+            if ch == 1 and B > 1:
+                # No vmap: keeps dynamic control flow (the hifi mesh cull's
+                # while_loop) truly data-dependent instead of batched.
+                ann, hms = jax.lax.map(one, frame_ids)
+            elif B % ch == 0 and B > ch:
                 chunks = frame_ids.reshape(B // ch, ch)
                 ann, hms = jax.lax.map(lambda f: jax.vmap(one)(f), chunks)
                 ann, hms = jax.tree_util.tree_map(
@@ -277,7 +285,9 @@ class Pipeline:
                                        light_key=k_light)
 
             ch = min(self.vmap_chunk, B)
-            if B % ch == 0 and B > ch:
+            if ch == 1 and B > 1:
+                ann, hms = jax.lax.map(one, frame_ids)
+            elif B % ch == 0 and B > ch:
                 chunks = frame_ids.reshape(B // ch, ch)
                 ann, hms = jax.lax.map(lambda f: jax.vmap(one)(f), chunks)
                 ann, hms = jax.tree_util.tree_map(

@@ -1,4 +1,4 @@
-"""Hifi mesh render path: a Möller–Trumbore triangle sweep shaped for TPU.
+"""Hifi mesh render path: a culled Möller–Trumbore triangle sweep for TPU.
 
 The reference renders real CAD meshes through Isaac's RTX path
 (generate_construction_data.py:1668-1677); the analytic proxy sweep
@@ -9,28 +9,45 @@ extracted + decimated by tools/extract_meshes.py into
 ``data/mesh_templates.npz``; crane/dumper/worker bodies are LFS stubs
 upstream, see PARITY.md).
 
-TPU shaping — no BVH, no divergence, same architecture as the prim sweep:
+TPU shaping — no BVH, no per-ray divergence:
 
 * With a SHARED per-frame camera origin, every per-pair Möller–Trumbore
   quantity is a dot of the ray direction against a per-triangle vector:
   ``det = d . (e2 x e1)``, ``u_num = d . (e2 x s)``, ``v_num = d . (s x e1)``
-  (s = origin - v0 is per-tri once per frame). The whole [rays x tris] test
-  is three ``(N, 3) @ (3, T)`` contractions plus elementwise compares — MXU
+  (s = origin - v0 is per-tri once per frame). A [rays x tris] block test is
+  three ``(N, 3) @ (3, T)`` contractions plus elementwise compares — MXU
   work, not scalar gathers.
-* Triangles ride a ``lax.scan`` over fixed-size blocks with the same
-  mantissa-packed running-min the prim sweep uses (raycast._pack): one
-  reduction yields depth AND instance id, bounded memory.
+* **Tile-grained instance culling** (the round-3 rewrite): the brute-force
+  all-pairs sweep costs ~47k tris x 262k rays per frame (~3 f/s measured —
+  and a single batch-128 device program runs long enough to trip the tunnel
+  watchdog). Instead, triangles are blocked PER INSTANCE, rays are processed
+  in image tiles (32x32 pixels), and each tile first runs a conservative
+  ray-vs-instance-AABB slab test (N x ~34 — trivial). A ``while_loop`` then
+  visits only the compacted relevant blocks via ``dynamic_slice``; a typical
+  tile sees 0-4 instances, so >90% of the pair work vanishes. Coarse-grained
+  dynamic control flow (one (1024-ray x 512-tri) MT test per visited block)
+  is the right granularity for TPU: the skip is a loop trip-count, not lane
+  divergence. Measured v5e: 2.95 -> ~50 f/s at 512^2 batch 16 (tile/block
+  sweep: 4096/1024 -> 38.7, 1024/1024 -> 48.9, 256/1024 -> 38.6,
+  1024/512 -> 50.4, chip shared with a training run).
+  NOTE: under ``vmap`` the while_loop trip count becomes the max over the
+  batch, eroding (but not breaking) the cull — run hifi frames with
+  ``vmap_chunk=1`` (parallel/pipeline.py maps frames without vmap there).
+* The mantissa-packed running-min (raycast._pack) yields depth AND instance
+  id in one reduction, exactly as the prim sweep does.
 * Instancing is static: template vertex tables are baked host-side; world
   vertices are one tiny einsum per frame (V <= ~800 per template).
 
 Keypoint-visibility segments share the camera origin so they ride the same
-sweep; secondary rays (sun shadows) keep the analytic proxies — that path
-has per-ray origins and the proxy shadows are already soft-shadow-accurate.
+sweep (contiguous-chunk fallback: ~1k rays cost one block-visit sequence);
+secondary rays (sun shadows) keep the analytic proxies — that path has
+per-ray origins and the proxy shadows are already soft-shadow-accurate.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import Dict, Sequence, Tuple
 
@@ -48,6 +65,8 @@ DATA_NPZ = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
                         "data", "mesh_templates.npz")
 
 DEFAULT_CLASSES = ("trafficcone", "tree", "fence")
+
+_BIG = np.float32(3e38)
 
 
 def load_templates(path: str | None = None
@@ -67,78 +86,139 @@ def load_templates(path: str | None = None
     return out
 
 
+def _aabb_hit_any(ray_o: Array, ray_d: Array, lo: Array, hi: Array) -> Array:
+    """Conservative slab test: does ANY ray o + t*d (t > 0) hit instance i's
+    world AABB?  ray_d (N, 3), lo/hi (I, 3) -> (I,) bool."""
+    tmn = jnp.full((ray_d.shape[0], lo.shape[0]), -_BIG)
+    tmx = jnp.full((ray_d.shape[0], lo.shape[0]), _BIG)
+    ok = jnp.ones((ray_d.shape[0], lo.shape[0]), bool)
+    for a in range(3):
+        d = ray_d[:, a][:, None]                      # (N, 1)
+        near = jnp.abs(d) < 1e-12
+        inv = 1.0 / jnp.where(near, 1.0, d)
+        t1 = (lo[None, :, a] - ray_o[a]) * inv
+        t2 = (hi[None, :, a] - ray_o[a]) * inv
+        tmn = jnp.maximum(tmn, jnp.where(near, -_BIG, jnp.minimum(t1, t2)))
+        tmx = jnp.minimum(tmx, jnp.where(near, _BIG, jnp.maximum(t1, t2)))
+        inside = (ray_o[a] >= lo[None, :, a]) & (ray_o[a] <= hi[None, :, a])
+        ok = ok & (~near | inside)
+    hit = ok & (tmn <= tmx) & (tmx > raycast.EPS)
+    return jnp.any(hit, axis=0)
+
+
 def make_mesh_caster(roster: world_mod.Roster,
                      templates: Dict[str, Tuple[np.ndarray, np.ndarray]] | None = None,
                      classes: Sequence[str] = DEFAULT_CLASSES,
-                     tri_block: int = 2048, chunk: int = 16384):
-    """Triangle sweep over every roster instance of ``classes`` that has a
-    baked template. Returns None when nothing is meshable, else a callable
-    ``packed(world, ray_o (3,), ray_d (N, 3)) -> packed f32 (N,)`` (the
-    raycast._pack encoding: depth mantissa carries instance id + 2), with
-    ``.covered_prims`` — a (P,) bool mask of analytic prims the mesh replaces.
+                     tri_block: int = 512, tile: int = 1024,
+                     grid_hw: Tuple[int, int] | None = None,
+                     chunk: int | None = None):
+    """Culled triangle sweep over every roster instance of ``classes`` that
+    has a baked template. Returns None when nothing is meshable, else a
+    callable ``packed(world, ray_o (3,), ray_d (N, 3)) -> packed f32 (N,)``
+    (the raycast._pack encoding: depth mantissa carries instance id + 2),
+    with ``.covered_prims`` — a (P,) bool mask of analytic prims the mesh
+    replaces.
+
+    ``tri_block``: triangles per block; every instance's triangles are padded
+    to a block multiple so each block has ONE owning instance (the cull
+    granularity). ``tile``: rays per group; with ``grid_hw=(H, W)`` and a
+    full-image ray set, groups are square image tiles (spatially coherent ->
+    tight AABB culls), otherwise contiguous ranges. ``chunk`` is accepted for
+    signature compatibility and ignored (the tile IS the ray chunk).
     """
+    del chunk
     templates = load_templates() if templates is None else templates
-    groups = []  # (verts, faces, inst_ids)
+    groups = []  # (verts, faces_padded, ids, n_blocks_per_inst, lo, hi)
+    n_tri_true = 0
     for cls in classes:
         if cls not in templates:
             continue
         ids = [i for i, name in enumerate(roster.inst_class_names)
                if name == cls]
-        if ids:
-            v, f = templates[cls]
-            groups.append((jnp.asarray(v), jnp.asarray(f), np.asarray(ids)))
+        if not ids:
+            continue
+        v, f = templates[cls]
+        n_tri_true += len(f) * len(ids)
+        nb = -(-len(f) // tri_block)
+        pad = nb * tri_block - len(f)
+        # pad with degenerate [0,0,0] triples: zero-area -> det 0 -> miss
+        fp = np.concatenate([f, np.zeros((pad, 3), np.int32)])
+        groups.append((jnp.asarray(v), fp, np.asarray(ids), nb,
+                       v.min(0), v.max(0)))
     if not groups:
         return None
 
     covered = np.zeros(len(roster.prim_inst), bool)
-    meshed_insts = np.concatenate([ids for _, _, ids in groups])
+    meshed_insts = np.concatenate([g[2] for g in groups])
     covered |= np.isin(np.asarray(roster.prim_inst), meshed_insts)
 
-    n_tri_total = sum(len(f) * len(ids) for _, f, ids in groups)
-    n_blocks = -(-n_tri_total // tri_block)
-    pad_tris = n_blocks * tri_block - n_tri_total
+    # Per-block owner (index into the MESHED instance list) + packed code.
+    block_owner, codes, tpl_lo, tpl_hi = [], [], [], []
+    for _, fp, ids, nb, lo, hi in groups:
+        for inst in ids:
+            block_owner += [len(tpl_lo)] * nb
+            codes.append(np.full(nb * tri_block, inst + 2, np.int32))
+            tpl_lo.append(lo)
+            tpl_hi.append(hi)
+    n_blocks = len(block_owner)
+    block_owner_arr = jnp.asarray(np.asarray(block_owner, np.int32))
+    codes_blocks = jnp.asarray(np.concatenate(codes).reshape(n_blocks, tri_block))
+    meshed_ids = jnp.asarray(np.concatenate([g[2] for g in groups]).astype(np.int32))
+    ctr_l = jnp.asarray((np.stack(tpl_lo) + np.stack(tpl_hi)) * 0.5)  # (I, 3)
+    half_l = jnp.asarray((np.stack(tpl_hi) - np.stack(tpl_lo)) * 0.5)
 
-    codes_np = np.concatenate(
-        [np.repeat(np.asarray(ids, np.int32) + 2, len(f))
-         for _, f, ids in groups] + [np.zeros(pad_tris, np.int32)])
-    codes_blocks = jnp.asarray(codes_np.reshape(n_blocks, tri_block))
+    th = tw = int(math.isqrt(tile))
 
     def _world_corners(world):
-        """Concatenated per-tri world corners (Ttot, 3) x3, padded."""
+        """Per-tri world corners as (n_blocks, tri_block, 3) x3."""
         inst_rot, inst_pos = world["inst_rot"], world["inst_pos"]
         c0s, c1s, c2s = [], [], []
-        for verts, faces, ids in groups:
+        for verts, fp, ids, nb, _, _ in groups:
             R = inst_rot[jnp.asarray(ids)]  # (I, 3, 3)
             p = inst_pos[jnp.asarray(ids)]  # (I, 3)
             vw = _einsum("ikj,vj->ivk", R, verts) + p[:, None, :]  # (I, V, 3)
             # static tiny gathers: V <= ~800, I <= ~20
-            c0s.append(vw[:, faces[:, 0], :].reshape(-1, 3))
-            c1s.append(vw[:, faces[:, 1], :].reshape(-1, 3))
-            c2s.append(vw[:, faces[:, 2], :].reshape(-1, 3))
-        zpad = jnp.zeros((pad_tris, 3), jnp.float32)
-        c0 = jnp.concatenate(c0s + [zpad])
-        c1 = jnp.concatenate(c1s + [zpad])
-        c2 = jnp.concatenate(c2s + [zpad])
-        return c0, c1, c2
+            c0s.append(vw[:, fp[:, 0], :].reshape(-1, 3))
+            c1s.append(vw[:, fp[:, 1], :].reshape(-1, 3))
+            c2s.append(vw[:, fp[:, 2], :].reshape(-1, 3))
+        blk = lambda xs: jnp.concatenate(xs).reshape(n_blocks, tri_block, 3)
+        return blk(c0s), blk(c1s), blk(c2s)
 
     def packed(world, ray_o: Array, ray_d: Array) -> Array:
         c0, c1, c2 = _world_corners(world)
         e1 = c1 - c0
         e2 = c2 - c0
-        s = ray_o[None, :] - c0
+        s = ray_o[None, None, :] - c0
         cr = jnp.cross(e2, e1)   # det   = d . cr
         au = jnp.cross(e2, s)    # u_num = d . au
         qv = jnp.cross(s, e1)    # v_num = d . qv
-        tnum = jnp.sum(e2 * qv, axis=-1)  # (Ttot,)
-        blk = lambda a: a.reshape(n_blocks, tri_block, -1)
-        tn_b = tnum.reshape(n_blocks, tri_block)
+        tn = jnp.sum(e2 * qv, axis=-1)  # (n_blocks, tri_block)
 
-        def ray_chunk(rd):
-            def body(best, xs):
-                crb, aub, qvb, tnb, cdb = xs
-                det = _einsum("nj,bj->nb", rd, crb)
-                unum = _einsum("nj,bj->nb", rd, aub)
-                vnum = _einsum("nj,bj->nb", rd, qvb)
+        # World AABB per meshed instance (conservative: |R| @ half-extents).
+        R = world["inst_rot"][meshed_ids]            # (I, 3, 3)
+        p = world["inst_pos"][meshed_ids]            # (I, 3)
+        cw = _einsum("ikj,ij->ik", R, ctr_l) + p     # (I, 3)
+        hw = _einsum("ikj,ij->ik", jnp.abs(R), half_l)
+        box_lo, box_hi = cw - hw, cw + hw
+
+        def tile_fn(rd):
+            rel = _aabb_hit_any(ray_o, rd, box_lo, box_hi)   # (I,)
+            rel_blk = rel[block_owner_arr]                   # (n_blocks,)
+            order = jnp.argsort(~rel_blk, stable=True).astype(jnp.int32)
+            count = jnp.sum(rel_blk.astype(jnp.int32))
+
+            def body(carry):
+                i, best = carry
+                b = order[i]
+                crb = jax.lax.dynamic_index_in_dim(cr, b, 0, keepdims=False)
+                aub = jax.lax.dynamic_index_in_dim(au, b, 0, keepdims=False)
+                qvb = jax.lax.dynamic_index_in_dim(qv, b, 0, keepdims=False)
+                tnb = jax.lax.dynamic_index_in_dim(tn, b, 0, keepdims=False)
+                cdb = jax.lax.dynamic_index_in_dim(codes_blocks, b, 0,
+                                                   keepdims=False)
+                det = _einsum("nj,tj->nt", rd, crb)
+                unum = _einsum("nj,tj->nt", rd, aub)
+                vnum = _einsum("nj,tj->nt", rd, qvb)
                 inv = jnp.where(jnp.abs(det) < raycast.EPS, 0.0, 1.0 / det)
                 t = tnb[None, :] * inv
                 u = unum * inv
@@ -147,38 +227,51 @@ def make_mesh_caster(roster: world_mod.Roster,
                       & (t > raycast.EPS) & (inv != 0.0))
                 t = jnp.where(ok, t, raycast.INF)
                 pk = raycast._pack(t, cdb[None, :])
-                return jnp.minimum(best, jnp.min(pk, axis=1)), None
+                return i + 1, jnp.minimum(best, jnp.min(pk, axis=1))
 
-            init = jnp.full(rd.shape[0], raycast.INF)
-            best, _ = jax.lax.scan(
-                body, init,
-                (blk(cr), blk(au), blk(qv), tn_b, codes_blocks))
+            init = (jnp.int32(0), jnp.full(rd.shape[0], raycast.INF))
+            _, best = jax.lax.while_loop(lambda c: c[0] < count, body, init)
             return best
 
         n = ray_d.shape[0]
-        if n > chunk and n % chunk == 0:
-            out = jax.lax.map(ray_chunk, ray_d.reshape(n // chunk, chunk, 3))
+        if (grid_hw is not None and n == grid_hw[0] * grid_hw[1]
+                and grid_hw[0] % th == 0 and grid_hw[1] % tw == 0):
+            H, W = grid_hw
+            rt = (ray_d.reshape(H // th, th, W // tw, tw, 3)
+                  .transpose(0, 2, 1, 3, 4).reshape(-1, th * tw, 3))
+            out = jax.lax.map(tile_fn, rt)
+            return (out.reshape(H // th, W // tw, th, tw)
+                    .transpose(0, 2, 1, 3).reshape(n))
+        if n > tile and n % tile == 0:
+            out = jax.lax.map(tile_fn, ray_d.reshape(n // tile, tile, 3))
             return out.reshape(n)
-        return ray_chunk(ray_d)
+        return tile_fn(ray_d)
 
     packed.covered_prims = covered
-    packed.n_triangles = n_tri_total
+    packed.n_triangles = int(n_tri_true)
+    packed.n_blocks = n_blocks
     return packed
 
 
 def make_hifi_caster(roster: world_mod.Roster, scene_cfg=None,
                      templates=None, classes: Sequence[str] = DEFAULT_CLASSES,
-                     chunk: int = 16384):
+                     chunk: int = 16384, grid_hw: Tuple[int, int] | None = None,
+                     tile: int = 1024):
     """Composite caster: baked CAD triangles for meshable classes + the
     analytic prim sweep for everything else. Drop-in for
     raycast.make_raycaster's return — render_frame needs no changes.
+
+    ``grid_hw=(H, W)``: the primary image shape — lets the mesh sweep group
+    rays into square image tiles for the instance cull (pipeline passes it;
+    without it, culling still works on contiguous ray ranges).
 
     ``.fast`` merges the two packed sweeps by mantissa-packed min (exact IEEE
     ordering). ``.fast_multi_origin`` (shadow rays, per-ray origins) and the
     full analytic ``cast`` keep the UNFILTERED proxy roster: shadows stay
     proxy-shaped, and meshed instances still self-shadow/occlude there.
     """
-    mesh = make_mesh_caster(roster, templates, classes, chunk=chunk)
+    mesh = make_mesh_caster(roster, templates, classes, tile=tile,
+                            grid_hw=grid_hw)
     full = raycast.make_raycaster(roster, chunk=chunk, scene_cfg=scene_cfg)
     if mesh is None:
         return full

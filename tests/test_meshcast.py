@@ -116,6 +116,58 @@ def test_mesh_sweep_matches_numpy_oracle(scene, templates):
     assert (code[both] - 2 == c0).any()
 
 
+def test_tiled_grid_path_matches_chunk_path(scene, templates):
+    """The image-tile reorder (grid_hw) must be a pure permutation: packed
+    results are bit-identical to the contiguous-chunk path, which the numpy
+    oracle test already pins."""
+    cfg, roster, world = scene
+    tiled = meshcast.make_mesh_caster(roster, templates, tile=1024,
+                                      grid_hw=(64, 64))
+    plain = meshcast.make_mesh_caster(roster, templates, tile=1024)
+    cam = np.float32([14.0, -10.0, 2.5])
+    dirs = look_at_rays(cam, [0.0, 0.0, 1.0], res=64, half_fov=0.6)
+    ta, ca = raycast._unpack(tiled(world, jnp.asarray(cam), jnp.asarray(dirs)))
+    tb, cb = raycast._unpack(plain(world, jnp.asarray(cam), jnp.asarray(dirs)))
+    ta, ca, tb, cb = (np.asarray(x) for x in (ta, ca, tb, cb))
+    hit = ta < raycast.INF * 0.99
+    assert hit.sum() > 50  # scene actually in view
+    np.testing.assert_array_equal(hit, tb < raycast.INF * 0.99)
+    # identical depths + instance codes on hits (misses carry whatever code
+    # the last visited block packed into the INF sentinel — masked by unpack)
+    np.testing.assert_array_equal(ta[hit], tb[hit])
+    np.testing.assert_array_equal(ca[hit], cb[hit])
+
+
+def test_cull_skips_out_of_view_instances(scene, templates):
+    """A tight ray bundle aimed at one cone must visit only a small fraction
+    of the triangle blocks (the cull is the point of the rewrite)."""
+    cfg, roster, world = scene
+    mesh = meshcast.make_mesh_caster(roster, templates)
+    c0, _ = roster.cone_slice
+    cone_pos = np.asarray(world["inst_pos"])[c0]
+    cam = (cone_pos + np.float32([2.0, 1.0, 0.8])).astype(np.float32)
+    dirs = look_at_rays(cam, cone_pos + [0, 0, 0.3], res=32, half_fov=0.05)
+    # count relevant instances with the same conservative AABB test
+    R = np.asarray(world["inst_rot"])
+    p = np.asarray(world["inst_pos"])
+    n_rel = 0
+    for cls, (v, f) in templates.items():
+        lo_l, hi_l = v.min(0), v.max(0)
+        for i, name in enumerate(roster.inst_class_names):
+            if name != cls:
+                continue
+            cw = R[i] @ ((lo_l + hi_l) / 2) + p[i]
+            hw = np.abs(R[i]) @ ((hi_l - lo_l) / 2)
+            rel = np.asarray(meshcast._aabb_hit_any(
+                jnp.asarray(cam), jnp.asarray(dirs),
+                jnp.asarray((cw - hw)[None]), jnp.asarray((cw + hw)[None])))
+            n_rel += int(rel[0])
+    assert n_rel <= 4  # a handful of instances, not all ~34
+    # and the sweep still hits the cone
+    t, code = raycast._unpack(mesh(world, jnp.asarray(cam), jnp.asarray(dirs)))
+    assert (np.asarray(code)[np.asarray(t) < raycast.INF * 0.99] - 2 == c0).any()
+
+
 def test_hifi_preserves_unmeshed_classes(scene):
     """Rays that hit only non-meshed geometry (the dumper) return identical
     packed results through the composite and the plain analytic caster."""
