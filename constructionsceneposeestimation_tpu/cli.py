@@ -29,8 +29,11 @@ def cmd_generate(args) -> None:
         render_width=args.width or args.size, render_height=args.height or args.size,
         batch_size=args.batch, max_iterations=args.frames, seed=args.seed,
     ))
+    # hifi renders frames unvmapped (chunk 1): the mesh sweep's instance
+    # cull is a while_loop whose trip count vmap would max over the batch.
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8,
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+        vmap_chunk=1 if getattr(args, "hifi", False) else 8,
         hifi_mesh=getattr(args, "hifi", False))
     want_hms = args.format == "packed" and args.heatmaps
     if getattr(args, "sequence_len", 0):
@@ -386,7 +389,7 @@ def cmd_train_detect(args) -> None:
         # eval frames render the baked CAD meshes (render/meshcast.py).
         eval_pipe = pipeline_mod.Pipeline(
             cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
-            vmap_chunk=8, hifi_mesh=True)
+            vmap_chunk=1, hifi_mesh=True)
         print("eval frames: hifi CAD-mesh renders (proxy-trained models)")
     gen = jax.jit(eval_pipe.make_generate_fn(ladder=args.eval_ladder))
     eval_seed = jax.random.PRNGKey(args.seed + 1000)
@@ -483,8 +486,11 @@ def cmd_infer(args) -> None:
 
     cfg = Config(pipeline=PipelineConfig(render_width=args.size,
                                          render_height=args.size))
+    # hifi renders frames unvmapped (chunk 1): the mesh sweep's instance
+    # cull is a while_loop whose trip count vmap would max over the batch.
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8,
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+        vmap_chunk=1 if getattr(args, "hifi", False) else 8,
         hifi_mesh=getattr(args, "hifi", False))
 
     det_model = detect_loop.make_detect_model(
