@@ -365,7 +365,16 @@ def cmd_train_detect(args) -> None:
     done = int(state.step)
     if done < args.steps:
         inner = max(1, min(args.inner, args.steps))
-        run = jax.jit(detect_loop.make_scanned_detect_train_fn(cfg, model, pipe, inner),
+        hifi_pipe = None
+        hifi_every = getattr(args, "hifi_mix", 0)
+        if hifi_every:
+            # Mixed-geometry stream: every k-th batch renders the baked CAD
+            # meshes (unvmapped — see render/meshcast.py on vmap vs the cull).
+            hifi_pipe = pipeline_mod.Pipeline(
+                cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+                vmap_chunk=1, hifi_mesh=True)
+        run = jax.jit(detect_loop.make_scanned_detect_train_fn(
+            cfg, model, pipe, inner, hifi_pipe=hifi_pipe, hifi_every=hifi_every),
                       donate_argnums=(0,))
         seed = jax.random.PRNGKey(args.seed + 1)
         t0 = time.time()
@@ -806,6 +815,10 @@ def main() -> None:
                          "also reports the multi-instance two-stage path")
     td.add_argument("--eval-ladder", action="store_true")
     td.add_argument("--camera-mix", type=float, default=0.0)
+    td.add_argument("--hifi-mix", type=int, default=0,
+                    help="render every k-th training batch with the hifi "
+                         "CAD-mesh sweep (0 = proxies only) — mixed-geometry "
+                         "training for sim-to-sim transfer")
     td.add_argument("--hifi-eval", action="store_true",
                     help="evaluate on hifi CAD-mesh renders (sim-to-sim "
                          "transfer gap for proxy-trained models)")

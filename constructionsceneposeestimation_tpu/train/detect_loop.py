@@ -49,11 +49,23 @@ def crane_extended_boxes(batch, roster):
     return bbox, vis
 
 
-def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
+def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline,
+                           hifi_pipe: pipeline_mod.Pipeline | None = None,
+                           hifi_every: int = 0):
+    """``hifi_pipe`` + ``hifi_every=k``: every k-th step renders its batch
+    through the hifi CAD-mesh pipeline instead of the analytic proxies —
+    mixed-geometry training that closes the sim-to-sim transfer gap the
+    proxy-only detector shows on ``--hifi-eval`` frames. A scalar-predicate
+    ``lax.cond`` picks the renderer per step (real branch, not select: the
+    predicate is un-batched inside the scanned train loop)."""
     tx = base_loop.make_optimizer(cfg)
+    cam_mix = cfg.train.camera_mix if cfg.train.camera_mix > 0 else None
     gen = pipe.make_generate_fn(
-        ladder=False, include_heatmaps=False,
-        camera_mix=cfg.train.camera_mix if cfg.train.camera_mix > 0 else None)
+        ladder=False, include_heatmaps=False, camera_mix=cam_mix)
+    gen_hifi = None
+    if hifi_pipe is not None and hifi_every > 0:
+        gen_hifi = hifi_pipe.make_generate_fn(
+            ladder=False, include_heatmaps=False, camera_mix=cam_mix)
     stride = getattr(model, "output_stride", 4)
     hm_h = cfg.pipeline.render_height // stride
     hm_w = cfg.pipeline.render_width // stride
@@ -77,7 +89,12 @@ def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
         return jnp.mean(per)
 
     def step(state: base_loop.TrainState, seed: Array, frame_ids: Array):
-        batch = gen(seed, frame_ids)
+        if gen_hifi is None:
+            batch = gen(seed, frame_ids)
+        else:
+            batch = jax.lax.cond(state.step % hifi_every == 0,
+                                 lambda: gen_hifi(seed, frame_ids),
+                                 lambda: gen(seed, frame_ids))
         keys = jax.vmap(lambda i: jax.random.fold_in(seed, i))(frame_ids)
         images = jax.vmap(lambda k, rgb: preprocess.preprocess_frame(
             k, rgb, cfg.pipeline.render_height, cfg.pipeline.render_width,
@@ -92,8 +109,10 @@ def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     return step, crane_merged_boxes
 
 
-def make_scanned_detect_train_fn(cfg: Config, model, pipe, inner_steps: int = 10):
-    step, _ = make_detect_train_step(cfg, model, pipe)
+def make_scanned_detect_train_fn(cfg: Config, model, pipe, inner_steps: int = 10,
+                                 hifi_pipe=None, hifi_every: int = 0):
+    step, _ = make_detect_train_step(cfg, model, pipe, hifi_pipe=hifi_pipe,
+                                     hifi_every=hifi_every)
     B = cfg.train.batch_size
 
     def run(state, seed: Array, start_frame: Array):

@@ -126,3 +126,39 @@ def test_detect_train_step_decreases_loss():
         state, metrics = step(state, seed, jnp.arange(4) + 4 * i)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_detect_train_step_hifi_mix():
+    """--hifi-mix: the k-th step renders through the CAD-mesh pipeline; both
+    branches execute and produce finite losses, and the hifi step sees a
+    different image stream (different loss) than the proxy step would."""
+    cfg = Config(
+        scene=SceneConfig(n_cones=1, n_trees=1, n_fence_panels=2),
+        pipeline=PipelineConfig(render_width=96, render_height=96),
+        train=TrainConfig(batch_size=2, steps=4, learning_rate=1e-3,
+                          warmup_steps=1, loss="focal"),
+    )
+    pipe = pipeline_mod.Pipeline(cfg, vmap_chunk=2)
+    hifi_pipe = pipeline_mod.Pipeline(cfg, vmap_chunk=1, hifi_mesh=True)
+    import pytest as _pytest
+    if not hasattr(hifi_pipe.caster, "mesh"):
+        _pytest.skip("mesh_templates.npz not baked")
+    model = detect_loop.make_detect_model(lite=True)
+    from constructionsceneposeestimation_tpu.train import loop as train_loop
+    state0 = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(0))
+    mixed, _ = detect_loop.make_detect_train_step(
+        cfg, model, pipe, hifi_pipe=hifi_pipe, hifi_every=2)
+    proxy, _ = detect_loop.make_detect_train_step(cfg, model, pipe)
+    seed = jax.random.PRNGKey(1)
+    ids = jnp.arange(2)
+    # step 0: 0 % 2 == 0 -> hifi branch; proxy-only step for comparison
+    _, m_hifi = jax.jit(mixed)(state0, seed, ids)
+    _, m_proxy = jax.jit(proxy)(state0, seed, ids)
+    assert jnp.isfinite(m_hifi["loss"]) and jnp.isfinite(m_proxy["loss"])
+    assert float(m_hifi["loss"]) != float(m_proxy["loss"])
+    # step 1 of the mixed stream takes the proxy branch: losses match exactly
+    state1 = train_loop.TrainState(state0.params, state0.opt_state,
+                                   state0.step + 1)
+    _, a = jax.jit(mixed)(state1, seed, ids)
+    _, b = jax.jit(proxy)(state1, seed, ids)
+    assert float(a["loss"]) == float(b["loss"])
