@@ -597,6 +597,11 @@ def cmd_infer(args) -> None:
     px2n = 1.0 / float(intr.fx)
     pose_classes = {"dumper"}
     part_names = ("cranebase", "cranecolumn", "craneboom", "cranetelescopic")
+    tracker = None
+    if getattr(args, "track", False):
+        from .eval import tracking
+        tracker = tracking.Tracker(smooth=getattr(args, "smooth", 0.5))
+    seq_len = getattr(args, "sequence_len", 0)
     n_out = n_det = 0
     with open(args.out, "w") as f:
         for lo in range(0, args.frames, args.batch):
@@ -645,10 +650,15 @@ def cmd_infer(args) -> None:
                             "t_cam": o["crane_t"][i, pi].tolist(),
                         } for pi in range(4)],
                     })
+                pose7 = [float(v) for v in cam7[i]]
+                if tracker is not None:
+                    if seq_len and int(ids[i]) % seq_len == 0:
+                        tracker.reset()  # clips are independent
+                    tracker.update(dets, pose7)
                 n_det += len(dets)
                 f.write(json_mod.dumps(
                     {"frame_id": int(ids[i]),
-                     "camera_pose7": [float(v) for v in cam7[i]],
+                     "camera_pose7": pose7,
                      "detections": dets}) + "\n")
                 n_out += 1
     print(f"wrote {n_out} frame records ({n_det} detections) -> {args.out}")
@@ -849,6 +859,13 @@ def main() -> None:
                           "(pairs with seq-eval)")
     inf.add_argument("--crane-stride", type=int, default=4, choices=[2, 4],
                      help="output stride the crane crop ckpt was trained at")
+    inf.add_argument("--track", action="store_true",
+                     help="assign track_ids across frames (greedy same-class "
+                          "IoU) and EMA-smooth accepted poses in the world "
+                          "frame (eval/tracking.py); tracks reset per clip")
+    inf.add_argument("--smooth", type=float, default=0.5,
+                     help="EMA keep-fraction for --track pose smoothing "
+                          "(0 = ids only, raw poses)")
     inf.add_argument("--hifi", action="store_true",
                      help="run the detector on hifi CAD-mesh renders (sim-to-"
                           "sim transfer: models are trained on proxies)")

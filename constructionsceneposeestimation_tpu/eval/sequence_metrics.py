@@ -73,7 +73,13 @@ def sequence_metrics(records: List[dict], seq_len: int,
         """Camera-frame (R, t) -> world frame via the record's camera pose —
         the camera flies during a clip, so smoothness must be scored in
         world coordinates. Falls back to camera frame if the record predates
-        the camera_pose7 field."""
+        the camera_pose7 field. Records from ``infer --track`` already carry
+        smoothed world-frame fields — those ARE the shipped poses, so they
+        are scored directly when present."""
+        if d.get("t_world") is not None:
+            R_w = (np.asarray(d["R_world"])
+                   if d.get("R_world") is not None else None)
+            return R_w, np.asarray(d["t_world"])
         if d.get("t_cam") is None:
             return None, None
         R_c = np.asarray(d["R_cam"]) if d.get("R_cam") is not None else None
@@ -102,6 +108,8 @@ def sequence_metrics(records: List[dict], seq_len: int,
                          "bbox2d": part["bbox2d"],
                          "R_cam": part.get("R_cam"),
                          "t_cam": part.get("t_cam"),
+                         "R_world": part.get("R_world"),
+                         "t_world": part.get("t_world"),
                          "pose_accepted": d.get("pose_accepted", False)}
                     p["R_w"], p["t_w"] = world_pose(rec, p)
                     out.append(p)
