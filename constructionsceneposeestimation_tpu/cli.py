@@ -683,6 +683,9 @@ def cmd_seq_eval(args) -> None:
     print(f"  mean |dt| world:    {out['mean_t_delta_m']:.3f} m/frame "
           f"(p95 {out['p95_t_delta_m']:.3f})")
     print(f"  mean |dR| world:    {out['mean_r_delta_deg']:.2f} deg/frame")
+    if "id_switch_rate" in out:
+        print(f"  id switch rate:     {out['id_switch_rate']:.3f} "
+              f"(IoU-matched pairs whose --track ids differ)")
     if "mean_speed_mps" in out:
         print(f"  implied speed:      {out['mean_speed_mps']:.2f} m/s @ "
               f"{args.fps} fps")

@@ -68,6 +68,7 @@ def sequence_metrics(records: List[dict], seq_len: int,
     t_deltas, r_deltas = [], []
     n_adjacent = n_matched = 0
     n_with_pose = n_pose_matched = 0
+    n_tracked_pairs = n_id_switches = 0  # infer --track records only
 
     def world_pose(rec, d):
         """Camera-frame (R, t) -> world frame via the record's camera pose —
@@ -105,6 +106,7 @@ def sequence_metrics(records: List[dict], seq_len: int,
             if d["class"] == "crane" and "parts" in d:
                 for part in d["parts"]:
                     p = {"class": f"crane/{part['name']}",
+                         "track_id": d.get("track_id"),
                          "bbox2d": part["bbox2d"],
                          "R_cam": part.get("R_cam"),
                          "t_cam": part.get("t_cam"),
@@ -126,6 +128,9 @@ def sequence_metrics(records: List[dict], seq_len: int,
             pairs = _match(prev, cur)
             n_matched += len(pairs)
             for p, c in pairs:
+                if p.get("track_id") is not None and c.get("track_id") is not None:
+                    n_tracked_pairs += 1
+                    n_id_switches += int(p["track_id"] != c["track_id"])
                 if not (p.get("pose_accepted") and c.get("pose_accepted")):
                     continue
                 if p.get("t_w") is None or c.get("t_w") is None:
@@ -145,6 +150,8 @@ def sequence_metrics(records: List[dict], seq_len: int,
         "p95_t_delta_m": float(np.percentile(t_deltas, 95)) if t_deltas else float("nan"),
         "mean_r_delta_deg": float(np.mean(r_deltas)) if r_deltas else float("nan"),
     }
+    if n_tracked_pairs:
+        out["id_switch_rate"] = n_id_switches / n_tracked_pairs
     if fps:
         out["mean_speed_mps"] = out["mean_t_delta_m"] * fps
     return out

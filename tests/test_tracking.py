@@ -147,3 +147,22 @@ def test_sequence_metrics_score_shipped_smoothed_poses():
             d.pop("R_world"); d.pop("t_world")
     out_raw = sequence_metrics.sequence_metrics(records, seq_len=10)
     assert out_raw["mean_t_delta_m"] > 0.3
+
+
+def test_sequence_metrics_id_switch_rate():
+    recs = []
+    for fid in range(4):
+        # track id flips between 0 and 1 every frame: 100% switch rate
+        recs.append({"frame_id": fid, "camera_pose7": cam7_identity(),
+                     "detections": [det("dumper", (10, 10, 50, 40),
+                                        track_id=fid % 2)]})
+    out = sequence_metrics.sequence_metrics(recs, seq_len=4)
+    assert out["id_switch_rate"] == 1.0
+    for r in recs:
+        r["detections"][0]["track_id"] = 7
+    out2 = sequence_metrics.sequence_metrics(recs, seq_len=4)
+    assert out2["id_switch_rate"] == 0.0
+    # no ids -> metric absent
+    for r in recs:
+        r["detections"][0].pop("track_id")
+    assert "id_switch_rate" not in sequence_metrics.sequence_metrics(recs, 4)
