@@ -124,8 +124,17 @@ def _run_training(args):
         if mgr.latest_step() is not None:
             state = mgr.restore(state)
             print(f"restored checkpoint at step {int(state.step)}")
-    done = int(state.step)
-    if done < args.steps:
+    done = trained_from = int(state.step)
+    if done < args.steps and getattr(args, "data_dir", None):
+        step_fn = jax.jit(train_loop.make_data_train_step(cfg, model),
+                          donate_argnums=(0,))
+        state, done = _offline_train(
+            args, state, mgr, done,
+            fields=("rgb", "heatmaps"),
+            run_one=lambda st, seed, b: step_fn(
+                st, seed, jnp.asarray(b["rgb"]),
+                jnp.asarray(b["heatmaps"], jnp.float32)))
+    elif done < args.steps:
         inner = max(1, min(args.inner, args.steps))
         run = jax.jit(train_loop.make_scanned_train_fn(cfg, model, pipe, inner),
                       donate_argnums=(0,))
@@ -139,12 +148,48 @@ def _run_training(args):
                   f"({(done - trained0) * args.batch / (time.time() - t0):.1f} img/s avg)")
             if mgr is not None and mgr.maybe_save(state):
                 print(f"checkpointed step {int(state.step)}")
-        if mgr is not None:
-            mgr.maybe_save(state, force=True)
-            print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
+    if done > trained_from and mgr is not None:
+        mgr.maybe_save(state, force=True)
+        print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
     if mgr is not None:
         mgr.close()
     return cfg, model, pipe, state
+
+
+def _offline_train(args, state, mgr, done, fields, run_one):
+    """Shared host loop for --data-dir training: stream reader batches into a
+    jitted per-batch step until --steps. Returns (state, done)."""
+    from .io import reader
+
+    ds = reader.ShardDataset(args.data_dir)
+    missing = [f for f in fields if f not in ds.fields]
+    if missing:
+        raise SystemExit(
+            f"shards under {args.data_dir} lack fields {missing} — write them "
+            f"with `cspe-tpu generate --format packed"
+            + (" --heatmaps" if "heatmaps" in missing else "") + "`")
+    ds_hw = ds.load_shard(0, ["rgb"])["rgb"].shape[1:3]
+    if ds_hw != (args.size, args.size):
+        raise SystemExit(
+            f"dataset frames are {ds_hw[0]}x{ds_hw[1]} but --size is "
+            f"{args.size} — pass --size {ds_hw[0]} to train on this dataset")
+    need = args.steps - done
+    epochs = -(-need * args.batch // max(len(ds), 1)) + 1
+    seed = jax.random.PRNGKey(args.seed + 1)
+    t0, trained0 = time.time(), done
+    for b in ds.batches(args.batch, fields=list(fields), seed=args.seed,
+                        epochs=epochs):
+        if done >= args.steps:
+            break
+        state, metrics = run_one(state, seed, b)
+        done += 1
+        if done % 50 == 0 or done == args.steps:
+            print(f"step {done}: loss={float(metrics['loss']):.5f} "
+                  f"({(done - trained0) * args.batch / (time.time() - t0):.1f}"
+                  f" img/s avg, offline shards)")
+        if mgr is not None and mgr.maybe_save(state):
+            print(f"checkpointed step {int(state.step)}")
+    return state, done
 
 
 def cmd_train(args) -> None:
@@ -362,8 +407,20 @@ def cmd_train_detect(args) -> None:
         if mgr.latest_step() is not None:
             state = mgr.restore(state)
             print(f"restored checkpoint at step {int(state.step)}")
-    done = int(state.step)
-    if done < args.steps:
+    done = trained_from = int(state.step)
+    if done < args.steps and getattr(args, "data_dir", None):
+        step_fn = jax.jit(detect_loop.make_data_detect_train_step(
+            cfg, model, pipe.roster), donate_argnums=(0,))
+        state, done = _offline_train(
+            args, state, mgr, done,
+            fields=("rgb", "bbox2d", "inst_visible"),
+            run_one=lambda st, seed, b: step_fn(
+                st, seed, jnp.asarray(b["rgb"]),
+                jnp.asarray(b["bbox2d"]), jnp.asarray(b["inst_visible"])))
+        if mgr is not None and done > trained_from:
+            mgr.maybe_save(state, force=True)
+            print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
+    elif done < args.steps:
         inner = max(1, min(args.inner, args.steps))
         hifi_pipe = None
         hifi_every = getattr(args, "hifi_mix", 0)
@@ -735,6 +792,10 @@ def main() -> None:
                    help="heatmap loss (focal = the README headline config)")
     t.add_argument("--camera-mix", type=float, default=0.0,
                     help="P(close-range ladder view) per train frame")
+    t.add_argument("--data-dir", default=None,
+                   help="train from packed npz shards (io/reader) instead "
+                        "of the on-device generator — the consumer side of "
+                        "`generate --format packed`")
     t.add_argument("--inner", type=int, default=10,
                    help="train steps per device dispatch (lax.scan)")
     t.add_argument("--ckpt-dir", default=None,
@@ -754,6 +815,10 @@ def main() -> None:
                     help="heatmap loss (focal = the README headline config)")
     te.add_argument("--camera-mix", type=float, default=0.0,
                     help="P(close-range ladder view) per train frame")
+    te.add_argument("--data-dir", default=None,
+                   help="train from packed npz shards (io/reader) instead "
+                        "of the on-device generator — the consumer side of "
+                        "`generate --format packed`")
     te.add_argument("--inner", type=int, default=50)
     te.add_argument("--eval-frames", type=int, default=16)
     te.add_argument("--pnp-threshold", type=float, default=0.15)
@@ -826,6 +891,10 @@ def main() -> None:
     td.add_argument("--n-dumpers", type=int, default=1,
                     help="train/eval scenes with N dumpers; with --crop-ckpt "
                          "also reports the multi-instance two-stage path")
+    td.add_argument("--data-dir", default=None,
+                   help="train from packed npz shards (io/reader) instead "
+                        "of the on-device generator — the consumer side of "
+                        "`generate --format packed`")
     td.add_argument("--eval-ladder", action="store_true")
     td.add_argument("--camera-mix", type=float, default=0.0)
     td.add_argument("--hifi-mix", type=int, default=0,

@@ -109,6 +109,52 @@ def make_detect_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline,
     return step, crane_merged_boxes
 
 
+def make_data_detect_train_step(cfg: Config, model, roster):
+    """Offline-dataset detector step: ``step(state, seed, rgb, bbox2d,
+    inst_visible) -> (state, metrics)`` over io/reader batches (shards from
+    ``generate --format packed``). Same targets/loss as the on-device path —
+    crane part boxes plus the appended whole-machine union pseudo-instance."""
+    import collections
+
+    tx = base_loop.make_optimizer(cfg)
+    stride = getattr(model, "output_stride", 4)
+    hm_h = cfg.pipeline.render_height // stride
+    hm_w = cfg.pipeline.render_width // stride
+    inst_cls = jnp.asarray(extended_inst_classes(roster))
+    cls_w = jnp.asarray(detect_ops.CLASS_LOSS_WEIGHTS, jnp.float32)
+    Shim = collections.namedtuple("Shim", ["bbox2d", "inst_visible"])
+
+    def loss_fn(params, images, bbox, vis):
+        pred = pose_net.forward(model, params, images)
+
+        def one(p, b, v):
+            tgt = detect_ops.build_targets(b, v, inst_cls, hm_h, hm_w,
+                                           float(stride))
+            loss, aux = detect_ops.detection_loss(p, *tgt,
+                                                  class_weights=cls_w)
+            return loss
+        return jnp.mean(jax.vmap(one)(pred, bbox, vis))
+
+    def step(state: base_loop.TrainState, seed: Array, rgb: Array,
+             bbox2d: Array, inst_visible: Array):
+        B = rgb.shape[0]
+        fids = state.step * B + jnp.arange(B)
+        keys = jax.vmap(lambda i: jax.random.fold_in(seed, i))(fids)
+        images = jax.vmap(lambda k, r: preprocess.preprocess_frame(
+            k, r, cfg.pipeline.render_height, cfg.pipeline.render_width,
+        ))(keys, rgb)
+        bbox, vis = crane_extended_boxes(
+            Shim(bbox2d.astype(jnp.float32), inst_visible), roster)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, images,
+                                                  bbox, vis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (base_loop.TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, "step": state.step})
+
+    return step
+
+
 def make_scanned_detect_train_fn(cfg: Config, model, pipe, inner_steps: int = 10,
                                  hifi_pipe=None, hifi_every: int = 0):
     step, _ = make_detect_train_step(cfg, model, pipe, hifi_pipe=hifi_pipe,

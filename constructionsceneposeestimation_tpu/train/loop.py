@@ -64,6 +64,17 @@ def channel_weights_from_roster(roster) -> Array:
     return jnp.asarray(w)
 
 
+def _make_loss_fn(cfg: Config, model, ch_w):
+    def loss_fn(params, images, targets):
+        pred = pose_net.forward(model, params, images)
+        if cfg.train.loss == "focal":
+            loss = losses.focal_heatmap_loss(pred, targets)
+        else:
+            loss = losses.heatmap_mse(pred, targets, ch_w)
+        return loss, pred
+    return loss_fn
+
+
 def make_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
     """Returns ``step(state, seed, frame_ids) -> (state, metrics)`` — the full
     on-device datagen + train step."""
@@ -78,13 +89,7 @@ def make_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
         f"{cfg.pipeline.heatmap_stride}: predictions and targets would have "
         "different spatial shapes")
 
-    def loss_fn(params, images, targets):
-        pred = pose_net.forward(model, params, images)
-        if cfg.train.loss == "focal":
-            loss = losses.focal_heatmap_loss(pred, targets)
-        else:
-            loss = losses.heatmap_mse(pred, targets, ch_w)
-        return loss, pred
+    loss_fn = _make_loss_fn(cfg, model, ch_w)
 
     def step(state: TrainState, seed: Array, frame_ids: Array):
         batch = gen(seed, frame_ids)
@@ -105,6 +110,39 @@ def make_train_step(cfg: Config, model, pipe: pipeline_mod.Pipeline):
             "visible_objects": jnp.mean(jnp.sum(batch.inst_visible, -1).astype(jnp.float32)),
         }
         return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_data_train_step(cfg: Config, model):
+    """Offline-dataset variant of :func:`make_train_step`:
+    ``step(state, seed, rgb (B,H,W,3) u8, heatmaps (B,C,h,w)) ->
+    (state, metrics)``. Batches come from io/reader.ShardDataset over shards
+    written by ``generate --format packed --heatmaps`` — the consumer side of
+    the dataset contract. Host-fed, so the fused on-device generator remains
+    the fast path; this exists for training on a FIXED, inspectable dataset
+    (reproductions, ablations, external data)."""
+    from ..scene import world as world_mod
+
+    tx = make_optimizer(cfg)
+    roster = world_mod.make_roster(cfg.scene)
+    ch_w = channel_weights_from_roster(roster) if cfg.train.channel_balance else None
+    loss_fn = _make_loss_fn(cfg, model, ch_w)
+
+    def step(state: TrainState, seed: Array, rgb: Array, heatmaps: Array):
+        B = rgb.shape[0]
+        fids = state.step * B + jnp.arange(B)
+        keys = jax.vmap(lambda i: jax.random.fold_in(seed, i))(fids)
+        images = jax.vmap(
+            lambda k, r: preprocess.preprocess_frame(
+                k, r, cfg.pipeline.render_height, cfg.pipeline.render_width)
+        )(keys, rgb)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, heatmaps)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, "step": state.step})
 
     return step
 
