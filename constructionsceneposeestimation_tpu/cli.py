@@ -21,14 +21,18 @@ import numpy as np
 
 
 def cmd_generate(args) -> None:
-    from .config import Config, PipelineConfig
+    from .config import Config, PipelineConfig, SceneConfig
     from .io import dataset_writer, packed, resume
     from .parallel import pipeline as pipeline_mod
 
-    cfg = Config(pipeline=PipelineConfig(
-        render_width=args.width or args.size, render_height=args.height or args.size,
-        batch_size=args.batch, max_iterations=args.frames, seed=args.seed,
-    ))
+    cfg = Config(
+        scene=SceneConfig(n_dumpers=getattr(args, "n_dumpers", 1),
+                          n_humans=getattr(args, "n_humans", 1)),
+        pipeline=PipelineConfig(
+            render_width=args.width or args.size,
+            render_height=args.height or args.size,
+            batch_size=args.batch, max_iterations=args.frames, seed=args.seed,
+        ))
     # hifi renders frames unvmapped (chunk 1): the mesh sweep's instance
     # cull is a while_loop whose trip count vmap would max over the batch.
     pipe = pipeline_mod.Pipeline(
@@ -156,7 +160,7 @@ def _run_training(args):
     return cfg, model, pipe, state
 
 
-def _offline_train(args, state, mgr, done, fields, run_one):
+def _offline_train(args, state, mgr, done, fields, run_one, roster=None):
     """Shared host loop for --data-dir training: stream reader batches into a
     jitted per-batch step until --steps. Returns (state, done)."""
     from .io import reader
@@ -168,13 +172,41 @@ def _offline_train(args, state, mgr, done, fields, run_one):
             f"shards under {args.data_dir} lack fields {missing} — write them "
             f"with `cspe-tpu generate --format packed"
             + (" --heatmaps" if "heatmaps" in missing else "") + "`")
-    ds_hw = ds.load_shard(0, ["rgb"])["rgb"].shape[1:3]
+    ds_hw = ds.field_shape("rgb")[1:3]
     if ds_hw != (args.size, args.size):
         raise SystemExit(
             f"dataset frames are {ds_hw[0]}x{ds_hw[1]} but --size is "
             f"{args.size} — pass --size {ds_hw[0]} to train on this dataset")
+    if roster is not None:
+        # The shards' instance axis must match the training roster, or the
+        # per-instance targets (crane slices, class ids) silently misalign.
+        want = list(roster.inst_class_names)
+        have = (ds.manifest or {}).get("inst_class_names")
+        if have is None and "bbox2d" in ds.fields:
+            n = ds.field_shape("bbox2d")[1]
+            have = want if n == len(want) else [f"<{n} instances>"]
+        if have is not None and list(have) != want:
+            raise SystemExit(
+                f"dataset instance layout ({len(have)} instances) does not "
+                f"match the training scene ({len(want)}: check --n-dumpers/"
+                f"--n-humans) — regenerate with matching `generate "
+                f"--n-dumpers/--n-humans` flags")
+    for flag in ("hifi_mix", "camera_mix"):
+        if getattr(args, flag, 0):
+            raise SystemExit(
+                f"--{flag.replace('_', '-')} configures the on-device "
+                f"generator and has no effect with --data-dir — drop one of "
+                f"the two flags (the dataset's geometry/cameras are fixed at "
+                f"generate time)")
+    steps_per_epoch = len(ds) // args.batch
+    if steps_per_epoch == 0:
+        raise SystemExit(
+            f"dataset has {len(ds)} frames < --batch {args.batch}: "
+            f"generate more frames or lower --batch")
     need = args.steps - done
-    epochs = -(-need * args.batch // max(len(ds), 1)) + 1
+    # batches() drops each epoch's remainder, so size epochs by the FLOOR
+    # steps-per-epoch (an undercount here silently ends training early).
+    epochs = -(-need // steps_per_epoch) + 1
     seed = jax.random.PRNGKey(args.seed + 1)
     t0, trained0 = time.time(), done
     for b in ds.batches(args.batch, fields=list(fields), seed=args.seed,
@@ -416,7 +448,8 @@ def cmd_train_detect(args) -> None:
             fields=("rgb", "bbox2d", "inst_visible"),
             run_one=lambda st, seed, b: step_fn(
                 st, seed, jnp.asarray(b["rgb"]),
-                jnp.asarray(b["bbox2d"]), jnp.asarray(b["inst_visible"])))
+                jnp.asarray(b["bbox2d"]), jnp.asarray(b["inst_visible"])),
+            roster=pipe.roster)
         if mgr is not None and done > trained_from:
             mgr.maybe_save(state, force=True)
             print(f"saved checkpoint at step {int(state.step)} -> {args.ckpt_dir}")
@@ -779,6 +812,11 @@ def main() -> None:
                    help="render cone/fence/tree with baked CAD triangle "
                         "templates (render/meshcast.py) instead of analytic "
                         "proxies — mesh-faithful silhouettes, slower")
+    g.add_argument("--n-dumpers", type=int, default=1,
+                   help="dumpers per scene (match the trainer's --n-dumpers "
+                        "when writing --format packed training data)")
+    g.add_argument("--n-humans", type=int, default=1,
+                   help="workers per scene (match the trainer's --n-humans)")
     g.add_argument("--verbose", action="store_true")
     g.set_defaults(fn=cmd_generate)
 

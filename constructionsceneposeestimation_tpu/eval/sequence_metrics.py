@@ -16,14 +16,9 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-
-def _iou(a, b) -> float:
-    iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
-    ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
-    inter = iw * ih
-    area = lambda x: max(0.0, x[2] - x[0]) * max(0.0, x[3] - x[1])
-    u = area(a) + area(b) - inter
-    return inter / u if u > 0 else 0.0
+# Shared with the deployment tracker: one copy of the pose-convention-
+# critical helpers (IoU, quaternion->matrix, camera->world).
+from .tracking import _iou, world_pose_np
 
 
 def _rot_angle_deg(Ra, Rb) -> float:
@@ -88,16 +83,7 @@ def sequence_metrics(records: List[dict], seq_len: int,
         pose7 = rec.get("camera_pose7")
         if pose7 is None:
             return R_c, t_c
-        q = np.asarray(pose7[3:])  # xyzw, world-from-pinhole
-        x, y, z, w = q
-        R_wp = np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ])
-        t_w = R_wp @ t_c + np.asarray(pose7[:3])
-        R_w = R_wp @ R_c if R_c is not None else None
-        return R_w, t_w
+        return world_pose_np(np.asarray(pose7), R_c, t_c)
 
     def dets_of(fid):
         out = []

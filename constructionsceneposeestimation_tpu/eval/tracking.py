@@ -141,7 +141,11 @@ class Tracker:
         get world-frame EMA-smoothed ``R_world``/``t_world`` (requires
         ``camera_pose7``). Crane records (articulated, ``parts``) are matched
         on the union of part boxes and every part pose is smoothed."""
-        live = [tr for tr in self._tracks if tr["misses"] <= self.max_misses]
+        # Prune dead tracks (misses exceeded): keeps per-frame cost and
+        # memory proportional to ACTIVE tracks on long unreset streams.
+        self._tracks = [tr for tr in self._tracks
+                        if tr["misses"] <= self.max_misses]
+        live = self._tracks
         used = set()
         pairs = []  # (det, track) by descending IoU, one-to-one
         cand = []

@@ -58,6 +58,20 @@ class ShardDataset:
             keys = fields if fields is not None else z.files
             return {k: z[k] for k in keys}
 
+    def field_shape(self, field: str, shard: int = 0) -> tuple:
+        """Array shape of ``field`` WITHOUT decompressing its data: reads
+        only the npy header of the zip member (a 512^2 rgb field would
+        otherwise cost hundreds of MB of decompression just for a check)."""
+        import zipfile
+        with zipfile.ZipFile(self.paths[shard]) as zf:
+            with zf.open(field + ".npy") as f:
+                version = np.lib.format.read_magic(f)
+                if version == (1, 0):
+                    shape, _, _ = np.lib.format.read_array_header_1_0(f)
+                else:
+                    shape, _, _ = np.lib.format.read_array_header_2_0(f)
+        return tuple(shape)
+
     def batches(
         self,
         batch_size: int,

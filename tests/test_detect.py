@@ -156,9 +156,11 @@ def test_detect_train_step_hifi_mix():
     _, m_proxy = jax.jit(proxy)(state0, seed, ids)
     assert jnp.isfinite(m_hifi["loss"]) and jnp.isfinite(m_proxy["loss"])
     assert float(m_hifi["loss"]) != float(m_proxy["loss"])
-    # step 1 of the mixed stream takes the proxy branch: losses match exactly
+    # step 1 of the mixed stream takes the proxy branch: same data, same
+    # loss (allclose, not ==: the cond-wrapped and inlined generators are
+    # separately-compiled programs and XLA may fuse them differently)
     state1 = train_loop.TrainState(state0.params, state0.opt_state,
                                    state0.step + 1)
     _, a = jax.jit(mixed)(state1, seed, ids)
     _, b = jax.jit(proxy)(state1, seed, ids)
-    assert float(a["loss"]) == float(b["loss"])
+    np.testing.assert_allclose(float(a["loss"]), float(b["loss"]), rtol=1e-5)
