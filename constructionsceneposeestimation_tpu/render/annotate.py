@@ -173,8 +173,21 @@ def render_frame(
             table = albedo_table
         onehot = (alb_idx[None, :]
                   == jnp.arange(O_ + 2, dtype=jnp.int32)[:, None])
-        px_tab = _einsum("co,on->cn", table.T,
-                         onehot.astype(jnp.float32))  # (C, N), exact in f32
+        if jax.default_backend() == "tpu":
+            # px_tab feeds ONLY the RGB/texture tier (no label reads it), so
+            # the geometry-HIGHEST rule does not apply: bf16 halves the
+            # (O+2, N) one-hot operand in HBM and takes 1 MXU pass instead of
+            # HIGHEST-f32's 6. Class-id row stays exact (small ints are exact
+            # in bf16); albedo/rotation err ~0.4%; instance positions round
+            # to ~5 cm, shifting procedural patterns by that much per
+            # instance — indistinguishable from the tex_phase DR jitter.
+            px_tab = jnp.einsum(
+                "co,on->cn", table.T.astype(jnp.bfloat16),
+                onehot.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)  # (C, N)
+        else:
+            px_tab = _einsum("co,on->cn", table.T,
+                             onehot.astype(jnp.float32))  # (C, N), exact f32
         albedo = (px_tab[0], px_tab[1], px_tab[2])
         lighting = lighting if lighting is not None else sh.default_lighting()
         if procedural_textures:
