@@ -22,6 +22,7 @@ The retry-on-empty-pointcloud loop (reference 1573-1666) becomes the returned
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, NamedTuple
 
 import jax
@@ -35,6 +36,22 @@ from . import shading as sh
 
 Array = jax.Array
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+def _table_bf16() -> bool:
+    """Whether the per-pixel table contraction runs in bf16.
+
+    Round-4 A/B on the real chip (all-modality bench, two runs each):
+    bf16 1377/1340 f/s vs f32 1360/1375 f/s — neutral within queue noise,
+    so the DEFAULT is the exact HIGHEST-f32 path on every backend (no
+    accuracy caveats for zero measured win). ``CSPE_TABLE_BF16=1`` re-enables
+    the bf16 MXU path for future re-measurement; the branch is read at trace
+    time, like every other static config.
+    """
+    v = os.environ.get("CSPE_TABLE_BF16")
+    if v is not None:
+        return v not in ("0", "false", "False", "")
+    return False
 
 
 class FrameAnnotations(NamedTuple):
@@ -173,14 +190,15 @@ def render_frame(
             table = albedo_table
         onehot = (alb_idx[None, :]
                   == jnp.arange(O_ + 2, dtype=jnp.int32)[:, None])
-        if jax.default_backend() == "tpu":
-            # px_tab feeds ONLY the RGB/texture tier (no label reads it), so
-            # the geometry-HIGHEST rule does not apply: bf16 halves the
-            # (O+2, N) one-hot operand in HBM and takes 1 MXU pass instead of
-            # HIGHEST-f32's 6. Class-id row stays exact (small ints are exact
-            # in bf16); albedo/rotation err ~0.4%; instance positions round
-            # to ~5 cm, shifting procedural patterns by that much per
-            # instance — indistinguishable from the tex_phase DR jitter.
+        if _table_bf16():
+            # Opt-in bf16 path (measured neutral, see _table_bf16). px_tab
+            # feeds ONLY the RGB/texture tier (no label reads it), so the
+            # geometry-HIGHEST rule does not apply. Class-id row stays exact
+            # (|id| <= 256 is exact in bf16); albedo/rotation err ~0.4%;
+            # instance positions round at bf16's 2^-8 RELATIVE ulp — ~5 cm
+            # near the 16 m yard extent, but ~0.4 m at 100 m — acceptable
+            # only because the yard is fence-bounded at ~±10 m and pattern
+            # phase is DR-jittered anyway.
             px_tab = jnp.einsum(
                 "co,on->cn", table.T.astype(jnp.bfloat16),
                 onehot.astype(jnp.bfloat16),

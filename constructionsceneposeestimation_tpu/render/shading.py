@@ -86,7 +86,8 @@ def procedural_albedo(
     grid, tree trunk/foliage split, worker vest. All selections are
     elementwise ``where``s on component planes — XLA fuses them into the
     shading epilogue. ``class_id`` arrives as f32 (it rides the one-hot table
-    contraction in annotate.render_frame; small ints are exact in f32).
+    contraction in annotate.render_frame; small ints are exact in both the
+    default f32 and the opt-in bf16 contraction — |id| <= 256 in bf16).
     Class ids per scene/taxonomy: cone 0, tree 1, fence 2, dumper 4,
     human 5, crane base/column/boom/telescopic 6-9."""
     r_xy = jnp.sqrt(x * x + y * y)

@@ -227,3 +227,39 @@ def test_soft_argmax_robust_to_activation_floor():
         jax.random.PRNGKey(0), hm.shape)
     dec, _ = decode.soft_argmax(noisy)
     np.testing.assert_allclose(np.asarray(dec)[0], [40.25, 17.5], atol=0.6)
+
+
+def test_table_contraction_bf16_matches_f32(monkeypatch):
+    """The opt-in bf16 one-hot table contraction (CSPE_TABLE_BF16=1) must
+    agree with the default HIGHEST-f32 path: class-id rows exactly (small
+    ints are exact in bf16), float rows to bf16 tolerance (~0.4%). Runs the
+    full textured render on CPU so the bf16 branch is exercised in CI
+    (annotate._table_bf16 gates it; ADVICE round-3 item 1)."""
+    cam, tgt = [6.0, 0.0, 1.8], [0.0, 0.0, 1.8]
+    roster = world_mod.make_roster(CFG)
+    pose = world_mod.default_pose(roster, CFG)
+    world = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster)
+    intr = camera.intrinsics_from_apertures(12.0, 25.0, 96, 64)
+
+    def run():
+        return annotate.render_frame(
+            roster, caster, world, jnp.asarray(cam, jnp.float32),
+            jnp.asarray(tgt, jnp.float32), intr, shade_rgb=True,
+            procedural_textures=True)
+
+    monkeypatch.delenv("CSPE_TABLE_BF16", raising=False)
+    f32 = run()
+    monkeypatch.setenv("CSPE_TABLE_BF16", "1")
+    bf16 = run()
+    # Labels are identical (the contraction feeds only the RGB tier).
+    np.testing.assert_array_equal(np.asarray(f32.instance),
+                                  np.asarray(bf16.instance))
+    np.testing.assert_array_equal(np.asarray(f32.depth), np.asarray(bf16.depth))
+    # RGB agrees to quantization: bf16 rounds albedo/positions by ~0.4%,
+    # which moves a pattern edge by at most a pixel; compare robustly.
+    a = np.asarray(f32.rgb, np.float32)
+    b = np.asarray(bf16.rgb, np.float32)
+    frac_close = (np.abs(a - b) <= 8).mean()
+    assert frac_close > 0.98, frac_close
+    assert abs(a.mean() - b.mean()) < 2.0, (a.mean(), b.mean())
