@@ -61,6 +61,9 @@ class Pipeline:
     cfg: Config
     use_pallas_heatmaps: bool = False
     vmap_chunk: int = 4
+    # RGB fidelity knobs (benchmarks/roofline.py stage isolation; production
+    # keeps both True — the procedural-texture pass is the sim-to-real tier).
+    procedural_textures: bool = True
     # Hifi mesh mode: baked CAD triangle templates (render/meshcast.py)
     # replace the analytic proxies for the classes the reference crate
     # authors geometry for. Labels/keypoints stay template-based (PARITY.md
@@ -134,6 +137,7 @@ class Pipeline:
         ann = annotate.render_frame(
             self.roster, self.caster, world, cam_pos, target, self.intr,
             lighting=lit, shade_rgb=cfg.pipeline.write_rgb,
+            procedural_textures=self.procedural_textures,
             bug_compatible=cfg.pipeline.bug_compatible_schema,
             far_clip=cfg.camera.clipping[1],
         )
