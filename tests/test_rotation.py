@@ -114,6 +114,23 @@ def test_orthonormalize_svd():
     np.testing.assert_allclose(got, mats, atol=1e-4)
 
 
+def test_orthonormalize_matches_svd_oracle():
+    """The Newton-polar implementation must agree with U @ Vt to f32 eps —
+    including additive noise, wide singular-value spreads, and det<0
+    reflections (it replaced jnp.linalg.svd for TPU perf; see docstring)."""
+    rng = np.random.RandomState(7)
+    mats = random_rotations(64, seed=8)
+    scales = rng.uniform(0.3, 3.0, size=(64, 1, 3)).astype(np.float32)
+    noisy = mats * scales + rng.randn(64, 3, 3).astype(np.float32) * 0.05
+    reflected = noisy.copy()
+    reflected[:, :, 0] *= -1
+    for M in (noisy, reflected):
+        got = np.asarray(rotation.orthonormalize(jnp.asarray(M)))
+        U, _, Vt = np.linalg.svd(M.astype(np.float64))
+        np.testing.assert_allclose(got, (U @ Vt).astype(np.float32),
+                                   atol=1e-5)
+
+
 def test_rot_z_degrees():
     got = np.asarray(rotation.matrix_rot_z_degrees(jnp.asarray([0.0, 90.0, -45.0])))
     want = R.from_euler("z", [[0], [90], [-45]], degrees=True).as_matrix()
