@@ -10,8 +10,9 @@ Two implementations with identical semantics:
   intermediate; fine for tests/small batches).
 * ``render_heatmaps_pallas`` — TPU Pallas kernel: the output tile stays in
   VMEM and each keypoint accumulates via a running max, so nothing of size
-  (N, H, W) ever exists. Keypoints outside ~4 sigma of a tile are skipped
-  with predicated execution.
+  (N, H, W) ever exists. Visible keypoints are compacted to the front and
+  the kernel loops a dynamic (scalar-prefetched) trip count, so pad and
+  invisible slots cost nothing.
 
 This kernel is the TPU analogue of the "native tier" called out in SURVEY.md
 section 2.3 (the reference's equivalent work happened inside Isaac's closed
@@ -54,25 +55,29 @@ def render_heatmaps(
     return out.at[channel].max(g)
 
 
-def _heatmap_kernel(u_ref, v_ref, ch_ref, vis_ref, out_ref, *, height, width,
+def _heatmap_kernel(cnt_ref, u_ref, v_ref, ch_ref, out_ref, *, height, width,
                     inv2s2, band):
-    """Grid = (batch, keypoint). The whole (C, H, W) heatmap for the current
-    frame stays resident in VMEM across the keypoint steps; each step lays
-    down one Gaussian limited to a ``band``-row window around the keypoint
-    (the Gaussian is numerically zero beyond ~4.25 sigma) and max-merges it
-    into its channel via a dynamic-index read-modify-write."""
-    k = pl.program_id(1)
+    """Grid = (batch,). The whole (C, H, W) heatmap for the current frame
+    stays resident in VMEM; a ``fori_loop`` with a DYNAMIC trip count (the
+    frame's visible-keypoint tally, scalar-prefetched via SMEM) lays down one
+    Gaussian per iteration, limited to a ``band``-row window around the
+    keypoint (the Gaussian is numerically zero beyond ~4.25 sigma), and
+    max-merges it into its channel via a dynamic-index read-modify-write.
 
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    The caller compacts visible keypoints to the front of the axis, so pad /
+    invisible slots never reach the loop. A first version used grid
+    ``(batch, keypoint)`` with one predicated step per SLOT; at the datagen
+    roster's 680 slots vs ~50-120 visible, per-step grid overhead dominated —
+    the compacted dynamic loop measured 16.8 -> 9.7 ms on a synthetic
+    128-frame batch at 122 visible/frame, and more where visibility is
+    sparser (max-merge is order-independent, so compaction is semantics-free).
+    """
+    out_ref[:] = jnp.zeros_like(out_ref)
+    cnt = cnt_ref[0, 0, 0]
 
-    u = u_ref[0, 0, k]
-    v = v_ref[0, 0, k]
-    vis = vis_ref[0, 0, k]
-
-    @pl.when(vis > 0)
-    def _():
+    def body(k, carry):
+        u = u_ref[0, 0, k]
+        v = v_ref[0, 0, k]
         ch = ch_ref[0, 0, k]
         y0 = jnp.clip(v.astype(jnp.int32) - band // 2, 0, height - band)
         # Mosaic requires integer iota; cast after.
@@ -82,6 +87,9 @@ def _heatmap_kernel(u_ref, v_ref, ch_ref, vis_ref, out_ref, *, height, width,
         g = jnp.exp(-d2 * inv2s2)
         cur = out_ref[0, ch, pl.ds(y0, band), :]
         out_ref[0, ch, pl.ds(y0, band), :] = jnp.maximum(cur, g)
+        return carry
+
+    jax.lax.fori_loop(0, cnt, body, 0)
 
 
 def render_heatmaps_pallas(
@@ -114,13 +122,21 @@ def render_heatmaps_pallas(
     batched = uv.ndim == 3
     if not batched:
         uv, channel, visible = uv[None], channel[None], visible[None]
+    if channel.ndim == 1:
+        channel = jnp.broadcast_to(channel, visible.shape)
     B, n = uv.shape[0], uv.shape[1]
+    # Compact visible keypoints to the front of the axis so the kernel's
+    # dynamic loop only ever touches real work (stable sort on the visibility
+    # bit; max-merge is order-independent so reordering is semantics-free).
+    order = jnp.argsort(jnp.where(visible, 0, 1).astype(jnp.int32), axis=1)
+    uv = jnp.take_along_axis(uv, order[..., None], axis=1)
+    channel = jnp.take_along_axis(channel, order, axis=1)
+    cnt = visible.sum(axis=1).astype(jnp.int32)[:, None, None]
     # Shape (B, 1, n) so the per-frame SMEM block (1, 1, n) equals the array's
     # trailing dims (the Mosaic block-shape divisibility rule).
     u = (uv[..., 0] / stride).astype(jnp.float32)[:, None, :]
     v = (uv[..., 1] / stride).astype(jnp.float32)[:, None, :]
     ch = channel.astype(jnp.int32)[:, None, :]
-    vis = visible.astype(jnp.float32)[:, None, :]
     inv2s2 = 1.0 / (2.0 * sigma * sigma)
     # Row window covering +-4.25 sigma (beyond that exp < 1.3e-8 of peak),
     # rounded to the sublane granule.
@@ -128,20 +144,20 @@ def render_heatmaps_pallas(
 
     kernel = functools.partial(_heatmap_kernel, height=height, width=width,
                                inv2s2=inv2s2, band=band)
-    smem = lambda: pl.BlockSpec((1, 1, n), lambda b, k: (b, 0, 0), memory_space=pltpu.SMEM)
+    smem = lambda k: pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, num_channels, height, width), jnp.float32),
-        grid=(B, n),
-        in_specs=[smem(), smem(), smem(), smem()],
+        grid=(B,),
+        in_specs=[smem(1), smem(n), smem(n), smem(n)],
         out_specs=pl.BlockSpec(
-            (1, num_channels, height, width), lambda b, k: (b, 0, 0, 0),
+            (1, num_channels, height, width), lambda b: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
-    )(u, v, ch, vis)
+    )(cnt, u, v, ch)
     return out if batched else out[0]
 
 
