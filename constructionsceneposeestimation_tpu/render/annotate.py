@@ -54,6 +54,25 @@ def _table_bf16() -> bool:
     return False
 
 
+def _shade_dtype():
+    """Compute dtype of the RGB shading/texture tier (labels never touch it).
+
+    Round-4 A/B on the real chip (all-modality bench): bf16 tier 1520 f/s vs
+    f32 tier 1634 f/s — bf16 LOSES 7%. The tier is a handful of fused
+    elementwise kernels, so halving plane bytes buys little HBM, while every
+    f32↔bf16 boundary (geometry subtractions and hash-noise args must stay
+    f32) adds convert ops and splits fusions. Default is therefore the exact
+    f32 tier; ``CSPE_SHADE_BF16=1`` re-enables the bf16 path (numerics when
+    enabled: only post-cancellation RELATIVE math runs bf16 — ±1 u8 level of
+    RGB, ~1-3 cm of procedural-pattern phase; measured in
+    tests/test_annotate.py bf16-shade A/B).
+    """
+    v = os.environ.get("CSPE_SHADE_BF16")
+    if v is not None and v not in ("0", "false", "False", ""):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 class FrameAnnotations(NamedTuple):
     depth: Array  # (H, W) distance to image plane; +inf on sky
     instance: Array  # (H, W) int32 instance id, -1 ground, -2 sky
@@ -149,6 +168,7 @@ def render_frame(
         # r/g/b — never (N, 3) vectors (trailing-3 pads to the 128-lane tile:
         # ~43x wasted VPU/HBM per materialized intermediate; see shading.py).
         t_safe = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
+        sdt = _shade_dtype()  # RGB-tier compute dtype (labels stay f32)
         rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
         pwx = origin[0] + t_safe * rdx  # world hit position planes
         pwy = origin[1] + t_safe * rdy
@@ -159,7 +179,8 @@ def render_frame(
         else:
             nx, ny, nz = sh.screen_space_normals(
                 (pwx.reshape(H, W), pwy.reshape(H, W), pwz.reshape(H, W)),
-                (rdx.reshape(H, W), rdy.reshape(H, W), rdz.reshape(H, W)))
+                (rdx.reshape(H, W), rdy.reshape(H, W), rdz.reshape(H, W)),
+                dtype=sdt)
             normal = (nx.reshape(-1), ny.reshape(-1), nz.reshape(-1))
         O_ = roster.num_instances
         # Per-pixel table rows — albedo (+ local rotation/position/class for
@@ -206,21 +227,29 @@ def render_frame(
         else:
             px_tab = _einsum("co,on->cn", table.T,
                              onehot.astype(jnp.float32))  # (C, N), exact f32
-        albedo = (px_tab[0], px_tab[1], px_tab[2])
+        # The shading/texture tier runs at _shade_dtype (bf16 by default);
+        # only the RGB image reads these planes, never a label. World-frame
+        # SUBTRACTIONS stay f32 (bf16 at ~16 m is ~6 cm — catastrophic for
+        # differences); everything after the cancellation is cast.
+        albedo = (px_tab[0].astype(sdt), px_tab[1].astype(sdt),
+                  px_tab[2].astype(sdt))
         lighting = lighting if lighting is not None else sh.default_lighting()
         if procedural_textures:
             # Hit position in the owning instance's LOCAL frame: patterns
             # (cone bands, crane stripes, vest) ride the object under DR.
             # l_i = sum_j R[j, i] * (p_w - pos)_j with R row-major at rows
-            # 3..11 of the packed table (R^T, world -> local).
-            dxw = pwx - px_tab[12]
-            dyw = pwy - px_tab[13]
-            dzw = pwz - px_tab[14]
-            lx = px_tab[3] * dxw + px_tab[6] * dyw + px_tab[9] * dzw
-            ly = px_tab[4] * dxw + px_tab[7] * dyw + px_tab[10] * dzw
-            lz = px_tab[5] * dxw + px_tab[8] * dyw + px_tab[11] * dzw
-            albedo = sh.procedural_albedo(albedo, lx, ly, lz, px_tab[15],
-                                          lighting)
+            # 3..11 of the packed table (R^T, world -> local). The f32
+            # subtraction feeds a sdt rotate: local coords are O(1 m), so
+            # bf16 costs ~1 cm of pattern phase (bands are 6-50 cm).
+            dxw = (pwx - px_tab[12]).astype(sdt)
+            dyw = (pwy - px_tab[13]).astype(sdt)
+            dzw = (pwz - px_tab[14]).astype(sdt)
+            rt = px_tab[3:12].astype(sdt)
+            lx = rt[0] * dxw + rt[3] * dyw + rt[6] * dzw
+            ly = rt[1] * dxw + rt[4] * dyw + rt[7] * dzw
+            lz = rt[2] * dxw + rt[5] * dyw + rt[8] * dzw
+            albedo = sh.procedural_albedo(albedo, lx, ly, lz,
+                                          px_tab[15].astype(sdt), lighting)
             # Force ONE evaluation of the pattern chain: the three RGB
             # fusion roots in shade() otherwise each re-compute the full
             # albedo DAG (sqrt/sin/floor + ~24 selects) — measured 1.35x on
@@ -249,12 +278,16 @@ def render_frame(
             # 2-vector on lanes (the tiling anti-pattern the sweep avoids);
             # XLA fuses the plane chain into the min-reduction, so nothing
             # (A, N)-sized ever materializes.
-            dx = pwx[None, :] - pos_ao[:, 0][:, None]  # (A, N)
-            dy = pwy[None, :] - pos_ao[:, 1][:, None]
+            # f32 subtract (world coords), then the whole (A, N) chain in the
+            # shading dtype — it's the biggest plane set on the RGB path.
+            dx = (pwx[None, :] - pos_ao[:, 0][:, None]).astype(sdt)  # (A, N)
+            dy = (pwy[None, :] - pos_ao[:, 1][:, None]).astype(sdt)
             d_xy = jnp.sqrt(dx * dx + dy * dy)
-            prox = jnp.clip((d_xy - foot_r[:, None]) / 0.6, 0.0, 1.0)
+            prox = jnp.clip((d_xy - foot_r[:, None].astype(sdt)) / 0.6,
+                            0.0, 1.0)
             ao_ground = 0.45 + 0.55 * jnp.min(prox, axis=0)
-            ao = jnp.where(hit["inst"] == -1, ao_ground, 1.0)
+            ao = jnp.where(hit["inst"] == -1, ao_ground,
+                           jnp.asarray(1.0, sdt))
         else:
             ao = None
         shadow_t = None

@@ -52,10 +52,17 @@ def default_lighting() -> Lighting:
 
 
 def _hash_noise(x: Array, y: Array, z: Array, scale: float = 7.0) -> Array:
-    """Cheap value noise from hit-position planes -> (N,) in [0, 1)."""
-    q = jnp.sin(x * (12.9898 * scale) + y * (78.233 * scale)
-                + z * (37.719 * scale))
-    return jnp.abs(q * 43758.5453) % 1.0
+    """Cheap value noise from hit-position planes -> (N,) in [0, 1).
+
+    Always evaluated in f32 regardless of the shading compute dtype: the sin
+    argument reaches ~1500 at yard scale, where bf16's ulp is ~8 — the phase
+    would be pure rounding noise (banded, backend-dependent), not hash noise.
+    """
+    f32 = jnp.float32
+    q = jnp.sin(x.astype(f32) * (12.9898 * scale)
+                + y.astype(f32) * (78.233 * scale)
+                + z.astype(f32) * (37.719 * scale))
+    return (jnp.abs(q * 43758.5453) % 1.0).astype(x.dtype)
 
 
 _HIVIS = (0.85, 0.95, 0.05)  # EN ISO 20471 yellow-green
@@ -66,8 +73,9 @@ _CAB_GRAY = (0.35, 0.38, 0.40)
 
 
 def _override(rgb: Planes3, mask: Array, color) -> Planes3:
-    return tuple(jnp.where(mask, jnp.float32(c), ch)
-                 for ch, c in zip(rgb, color))
+    # Python-float colors are weakly typed: the select stays in the incoming
+    # compute dtype (f32 or bf16) instead of promoting every plane to f32.
+    return tuple(jnp.where(mask, c, ch) for ch, c in zip(rgb, color))
 
 
 def procedural_albedo(
@@ -101,14 +109,19 @@ def procedural_albedo(
     trunk = (class_id == 1.0) & (r_xy < 0.45) & (z < 3.2)
     out = _override(out, trunk, _TRUNK_BROWN)
     # Fence: wire-mesh grid modulation (35 cm cells, slight darkening).
-    grid = (jnp.sin(x * 18.0) * jnp.sin(z * 18.0)) > 0.0
+    # sin args reach ~67 on a 3.7 m panel — evaluate in f32 (bf16 ulp there
+    # is ~0.25 rad, a quarter-cell of phase noise); the boolean is dtype-free.
+    f32 = jnp.float32
+    grid = (jnp.sin(x.astype(f32) * 18.0) * jnp.sin(z.astype(f32) * 18.0)) > 0.0
     fence_dark = (class_id == 2.0) & grid
     out = tuple(jnp.where(fence_dark, ch * 0.75, ch) for ch in out)
     # Dumper: gray cab ahead of the bed + wheel-arch grime below 0.55 m.
     cab = (class_id == 4.0) & (x > 1.2) & (z > 0.6)
     out = _override(out, cab, _CAB_GRAY)
     grime = (class_id == 4.0) & (z < 0.55)
-    dirt_mul = 1.0 - 0.5 * lighting.dirt
+    # Cast: lighting.dirt may be an f32 scalar, and an f32 dirt_mul would
+    # silently promote the whole downstream plane chain out of bf16.
+    dirt_mul = jnp.asarray(1.0 - 0.5 * lighting.dirt, out[0].dtype)
     out = tuple(jnp.where(grime, ch * dirt_mul, ch) for ch in out)
     # Worker: hi-vis vest over the torso + two reflective stripes.
     vest = (class_id == 5.0) & (z > 1.02) & (z < 1.48)
@@ -140,45 +153,68 @@ def shade(
 
     shadow_t: optional occlusion distances toward the sun (INF = lit).
     ao: optional (N,) ambient-occlusion factor in [0, 1] (contact shadows).
+
+    The compute dtype follows ``albedo`` (f32 or bf16 component planes — see
+    annotate.render_frame's shading-tier cast). All lighting scalars and
+    geometry inputs are cast to it; hash noise stays f32 internally
+    (``_hash_noise``). RGB in [0, 1] at bf16 precision is ~0.4% relative —
+    sub-u8-level after tone-mapping.
     """
-    nx, ny, nz = normal
+    dt = albedo[0].dtype
+    cast = lambda v: jnp.asarray(v, dt)  # Lighting fields may be python floats
+    nx, ny, nz = (cast(n) for n in normal)
     is_hit = jnp.isfinite(t)
 
-    tex = 1.0 + texture_strength * lighting.tex_strength \
-        * (_hash_noise(*hit_pos) - 0.5) * 2.0
+    tex = 1.0 + texture_strength * cast(lighting.tex_strength) \
+        * (cast(_hash_noise(*hit_pos)) - 0.5) * 2.0
 
-    sd = lighting.sun_dir
+    sd = cast(lighting.sun_dir)
     ndotl = jnp.maximum(-(nx * sd[0] + ny * sd[1] + nz * sd[2]), 0.0)
     lit = (jnp.ones_like(ndotl) if shadow_t is None
-           else (shadow_t >= 1e9).astype(jnp.float32))
-    direct = lighting.sun_intensity * ndotl * lit
+           else (shadow_t >= 1e9).astype(dt))
+    direct = cast(lighting.sun_intensity) * ndotl * lit
 
     # Hemispheric ambient: brighter for up-facing normals.
+    dome_i = cast(lighting.dome_intensity)
     sky_frac = 0.5 * (1.0 + nz)
-    ambient = lighting.dome_intensity * (0.25 + 0.35 * sky_frac)
+    ambient = dome_i * (0.25 + 0.35 * sky_frac)
     if ao is not None:
-        ambient = ambient * ao
+        ambient = ambient * cast(ao)
 
     # Sky background: dome color with a horizon-to-zenith gradient.
-    up = jnp.clip(ray_d[2], 0.0, 1.0)
-    sky_base = (0.85 + 0.15 * up) * jnp.maximum(lighting.dome_intensity, 0.3)
+    up = jnp.clip(cast(ray_d[2]), 0.0, 1.0)
+    sky_base = (0.85 + 0.15 * up) * jnp.maximum(dome_i, 0.3)
 
+    dome_c = cast(lighting.dome_color)
+    # NOTE: tex/direct/ambient/sky_base feed all three channel fusion roots
+    # below, but a lax.optimization_barrier here measured NEUTRAL on the real
+    # chip (round 4: 1633.8 vs 1634.6 f/s) — unlike the albedo chain in
+    # annotate.render_frame (1.35x), XLA does not re-evaluate these DAGs per
+    # channel, so no barrier is placed.
     out = []
     for ch, alb in enumerate(albedo):
-        color = (alb * tex) * (direct + ambient * lighting.dome_color[ch])
-        color = jnp.where(is_hit, color, lighting.dome_color[ch] * sky_base)
+        color = (alb * tex) * (direct + ambient * dome_c[ch])
+        color = jnp.where(is_hit, color, dome_c[ch] * sky_base)
         out.append(jnp.clip(color, 0.0, 1.0))
     return tuple(out)
 
 
-def screen_space_normals(pos: Planes3, ray_d: Planes3) -> Planes3:
+def screen_space_normals(pos: Planes3, ray_d: Planes3,
+                         dtype=None) -> Planes3:
     """World-space normal planes from finite differences of the (H, W)
     hit-position planes — replaces the per-ray primitive-gather normal phase,
     which costs ~10x the whole ray sweep on TPU. Exact on flat interiors;
-    only silhouette pixels differ from analytic normals."""
+    only silhouette pixels differ from analytic normals.
+
+    ``dtype``: optional compute dtype for the cross/normalize chain. The
+    finite DIFFERENCES are always taken in the incoming (f32) precision —
+    neighbor positions at ~16 m agree to ~mm, so a bf16 subtract would be
+    pure cancellation noise — but the post-difference products are relative
+    math and safe to run in bf16 (unit normals to ~0.4%, sub-u8 shading)."""
     def d_along(p, axis):
         app = p[:, -1:] if axis == 1 else p[-1:, :]
-        return jnp.diff(p, axis=axis, append=app)
+        d = jnp.diff(p, axis=axis, append=app)
+        return d if dtype is None else d.astype(dtype)
 
     # n = dy x dx (dy = d/drow, dx = d/dcol), matching the original
     # jnp.cross(dy, dx) of the (H, W, 3) formulation.
@@ -189,8 +225,9 @@ def screen_space_normals(pos: Planes3, ray_d: Planes3) -> Planes3:
     nz = dyx * dxy - dyy * dxx
     inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-18))
     nx, ny, nz = nx * inv, ny * inv, nz * inv
-    flip = nx * ray_d[0] + ny * ray_d[1] + nz * ray_d[2] > 0
-    sgn = jnp.where(flip, -1.0, 1.0)
+    rdx, rdy, rdz = ((r if dtype is None else r.astype(dtype)) for r in ray_d)
+    flip = nx * rdx + ny * rdy + nz * rdz > 0
+    sgn = jnp.where(flip, -1.0, 1.0).astype(nx.dtype)
     return nx * sgn, ny * sgn, nz * sgn
 
 
@@ -211,7 +248,10 @@ def _gamma22(c: Array) -> Array:
 
 def linear_to_srgb_u8(rgb: Planes3, h: int, w: int) -> Array:
     """Tone-map linear RGB planes [0,1] -> (H, W, 3) uint8 sRGB-ish
-    (gamma 2.2). The stack is the ONLY trailing-3 tensor on the RGB path."""
-    chans = [jnp.round(_gamma22(jnp.clip(c, 0.0, 1.0)) * 255.0)
-             .astype(jnp.uint8).reshape(h, w) for c in rgb]
+    (gamma 2.2). The stack is the ONLY trailing-3 tensor on the RGB path.
+    The gamma chain runs in the incoming plane dtype (bf16 is ~0.4% relative
+    ≈ ±1 u8 level); the final *255 + round is f32 so the u8 quantization
+    itself is exact."""
+    chans = [jnp.round(_gamma22(jnp.clip(c, 0.0, 1.0)).astype(jnp.float32)
+                       * 255.0).astype(jnp.uint8).reshape(h, w) for c in rgb]
     return jnp.stack(chans, axis=-1)

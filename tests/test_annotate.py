@@ -263,3 +263,41 @@ def test_table_contraction_bf16_matches_f32(monkeypatch):
     frac_close = (np.abs(a - b) <= 8).mean()
     assert frac_close > 0.98, frac_close
     assert abs(a.mean() - b.mean()) < 2.0, (a.mean(), b.mean())
+
+
+def test_shading_bf16_matches_f32(monkeypatch):
+    """The opt-in bf16 shading tier (CSPE_SHADE_BF16=1 — measured 7% SLOWER
+    on the real chip, annotate._shade_dtype, so f32 is the default) must stay
+    within quantization of the exact tier: labels identical, RGB within a few
+    u8 levels except at pattern/silhouette boundary pixels (bf16 moves a
+    band edge by ~1 cm of local-frame phase)."""
+    cam, tgt = [6.0, 3.0, 2.0], [0.0, 0.0, 2.0]
+    roster = world_mod.make_roster(CFG)
+    pose = world_mod.default_pose(roster, CFG)
+    world = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster)
+    intr = camera.intrinsics_from_apertures(12.0, 25.0, 96, 64)
+
+    def run():
+        return annotate.render_frame(
+            roster, caster, world, jnp.asarray(cam, jnp.float32),
+            jnp.asarray(tgt, jnp.float32), intr, shade_rgb=True,
+            procedural_textures=True)
+
+    monkeypatch.delenv("CSPE_SHADE_BF16", raising=False)
+    f32 = run()
+    monkeypatch.setenv("CSPE_SHADE_BF16", "1")
+    bf16 = run()
+    # Labels never touch the shading dtype.
+    np.testing.assert_array_equal(np.asarray(f32.instance),
+                                  np.asarray(bf16.instance))
+    np.testing.assert_array_equal(np.asarray(f32.depth),
+                                  np.asarray(bf16.depth))
+    np.testing.assert_array_equal(np.asarray(f32.kpt_visible),
+                                  np.asarray(bf16.kpt_visible))
+    a = np.asarray(f32.rgb, np.float32)
+    b = np.asarray(bf16.rgb, np.float32)
+    d = np.abs(a - b)
+    assert (d <= 4).mean() > 0.99, (d <= 4).mean()  # non-boundary pixels
+    assert d.mean() < 2.0, d.mean()
+    assert abs(a.mean() - b.mean()) < 2.0, (a.mean(), b.mean())
