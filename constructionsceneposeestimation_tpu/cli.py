@@ -38,7 +38,8 @@ def cmd_generate(args) -> None:
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
         vmap_chunk=1 if getattr(args, "hifi", False) else 8,
-        hifi_mesh=getattr(args, "hifi", False))
+        hifi_mesh=getattr(args, "hifi", False),
+        image_textures=getattr(args, "image_textures", False))
     want_hms = args.format == "packed" and args.heatmaps
     if getattr(args, "sequence_len", 0):
         gen = jax.jit(pipe.make_sequence_fn(args.sequence_len,
@@ -462,7 +463,8 @@ def cmd_train_detect(args) -> None:
             # meshes (unvmapped — see render/meshcast.py on vmap vs the cull).
             hifi_pipe = pipeline_mod.Pipeline(
                 cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
-                vmap_chunk=1, hifi_mesh=True)
+                vmap_chunk=1, hifi_mesh=True,
+                image_textures=getattr(args, "image_textures", False))
         run = jax.jit(detect_loop.make_scanned_detect_train_fn(
             cfg, model, pipe, inner, hifi_pipe=hifi_pipe, hifi_every=hifi_every),
                       donate_argnums=(0,))
@@ -488,7 +490,8 @@ def cmd_train_detect(args) -> None:
         # eval frames render the baked CAD meshes (render/meshcast.py).
         eval_pipe = pipeline_mod.Pipeline(
             cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
-            vmap_chunk=1, hifi_mesh=True)
+            vmap_chunk=1, hifi_mesh=True,
+            image_textures=getattr(args, "image_textures", False))
         print("eval frames: hifi CAD-mesh renders (proxy-trained models)")
     gen = jax.jit(eval_pipe.make_generate_fn(ladder=args.eval_ladder))
     eval_seed = jax.random.PRNGKey(args.seed + 1000)
@@ -590,7 +593,8 @@ def cmd_infer(args) -> None:
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
         vmap_chunk=1 if getattr(args, "hifi", False) else 8,
-        hifi_mesh=getattr(args, "hifi", False))
+        hifi_mesh=getattr(args, "hifi", False),
+        image_textures=getattr(args, "image_textures", False))
 
     det_model = detect_loop.make_detect_model(
         output_stride=getattr(args, "det_stride", 4))
@@ -812,6 +816,10 @@ def main() -> None:
                    help="render cone/fence/tree with baked CAD triangle "
                         "templates (render/meshcast.py) instead of analytic "
                         "proxies — mesh-faithful silhouettes, slower")
+    g.add_argument("--image-textures", action="store_true",
+                   help="sample the reference's real texture images (bark, "
+                        "leaf, garment fabrics) via low-rank MXU factors "
+                        "(render/textures.py) on top of the procedural DR")
     g.add_argument("--n-dumpers", type=int, default=1,
                    help="dumpers per scene (match the trainer's --n-dumpers "
                         "when writing --format packed training data)")
@@ -939,6 +947,10 @@ def main() -> None:
                     help="render every k-th training batch with the hifi "
                          "CAD-mesh sweep (0 = proxies only) — mixed-geometry "
                          "training for sim-to-sim transfer")
+    td.add_argument("--image-textures", action="store_true",
+                    help="hifi-mix/hifi-eval frames also sample the "
+                         "reference's real texture images "
+                         "(render/textures.py)")
     td.add_argument("--hifi-eval", action="store_true",
                     help="evaluate on hifi CAD-mesh renders (sim-to-sim "
                          "transfer gap for proxy-trained models)")

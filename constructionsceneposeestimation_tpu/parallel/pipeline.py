@@ -64,6 +64,10 @@ class Pipeline:
     # RGB fidelity knobs (benchmarks/roofline.py stage isolation; production
     # keeps both True — the procedural-texture pass is the sim-to-real tier).
     procedural_textures: bool = True
+    # Image-texture tier: sample the reference's REAL texture images (bark,
+    # leaf, garment fabrics — render/textures.py low-rank MXU sampling) on
+    # top of the procedural patterns. Opt-in (--image-textures).
+    image_textures: bool = False
     # Hifi mesh mode: baked CAD triangle templates (render/meshcast.py)
     # replace the analytic proxies for the classes the reference crate
     # authors geometry for. Labels/keypoints stay template-based (PARITY.md
@@ -84,6 +88,11 @@ class Pipeline:
         else:
             self.caster = raycast.make_raycaster(self.roster,
                                                  scene_cfg=self.cfg.scene)
+        if self.image_textures:
+            from ..render import textures as textures_mod
+            self.texture_factors = textures_mod.load_factors()
+        else:
+            self.texture_factors = None
         pc = self.cfg.pipeline
         self.intr = cam_mod.intrinsics_from_apertures(
             self.cfg.camera.focal_length, self.cfg.camera.horizontal_aperture,
@@ -138,6 +147,7 @@ class Pipeline:
             self.roster, self.caster, world, cam_pos, target, self.intr,
             lighting=lit, shade_rgb=cfg.pipeline.write_rgb,
             procedural_textures=self.procedural_textures,
+            texture_factors=self.texture_factors,
             bug_compatible=cfg.pipeline.bug_compatible_schema,
             far_clip=cfg.camera.clipping[1],
         )

@@ -104,6 +104,7 @@ def render_frame(
     analytic_normals: bool = False,
     sun_shadows: bool = False,
     procedural_textures: bool = True,
+    texture_factors=None,
     bug_compatible: bool = False,
     far_clip: float = 250.0,
 ) -> FrameAnnotations:
@@ -250,6 +251,15 @@ def render_frame(
             lz = rt[2] * dxw + rt[5] * dyw + rt[8] * dzw
             albedo = sh.procedural_albedo(albedo, lx, ly, lz,
                                           px_tab[15].astype(sdt), lighting)
+            if texture_factors is not None:
+                # Image-texture tier: the reference's REAL texture images as
+                # low-rank MXU contractions (render/textures.py). Off on the
+                # headline datagen path; on for --image-textures / hifi/viz.
+                from . import textures as tex_mod
+                albedo = tex_mod.apply_image_textures(
+                    albedo, lx, ly, lz, pwx.astype(sdt), pwy.astype(sdt),
+                    px_tab[15].astype(sdt), texture_factors,
+                    tex_phase=lighting.tex_phase)
             # Force ONE evaluation of the pattern chain: the three RGB
             # fusion roots in shade() otherwise each re-compute the full
             # albedo DAG (sqrt/sin/floor + ~24 selects) — measured 1.35x on

@@ -1,0 +1,107 @@
+"""Image-texture tier (render/textures.py): low-rank factor sampling of the
+reference's real texture images — reconstruction fidelity, wrap semantics,
+label invariance of the rendered frame."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from constructionsceneposeestimation_tpu.config import Config
+from constructionsceneposeestimation_tpu.core import camera
+from constructionsceneposeestimation_tpu.render import annotate
+from constructionsceneposeestimation_tpu.render import raycast as rc
+from constructionsceneposeestimation_tpu.render import textures as tx
+from constructionsceneposeestimation_tpu.scene import world as world_mod
+
+CFG = Config().scene
+
+
+@pytest.fixture(scope="module")
+def factors():
+    return tx.load_factors()
+
+
+def test_factor_file_matches_slot_order(factors):
+    _, _, bins, rank, names = tx._load_np()
+    assert names == sorted(tx.TEX, key=tx.TEX.get)
+    assert factors.U.shape == (factors.n_tex * bins, 3 * rank)
+    assert factors.bins == bins and factors.rank == rank
+
+
+def test_sample_reconstructs_bark(factors):
+    """Sampling every bin center must reproduce the rank-K reconstruction of
+    the source image (nearest-bin + SVD truncation are the only errors)."""
+    import tools.build_texture_atlas as bta
+
+    bins = factors.bins
+    img = bta.load_linear(bta.SOURCES[0][1], "rgb", bins)  # bark, linear
+    uu, vv = np.meshgrid(np.arange(bins), np.arange(bins), indexing="ij")
+    u = jnp.asarray((uu.reshape(-1) + 0.5) / bins, jnp.float32)
+    v = jnp.asarray((vv.reshape(-1) + 0.5) / bins, jnp.float32)
+    s = tx.sample(factors, u, v, jnp.zeros(bins * bins, jnp.int32))
+    rec = np.stack([np.asarray(c).reshape(bins, bins) for c in s], -1)
+    rmse = float(np.sqrt(np.mean((rec - img) ** 2)))
+    assert rmse < 0.05, rmse  # rank-12 linear-space reconstruction
+
+
+def test_sample_wraps_and_selects_texture(factors):
+    u = jnp.asarray([0.25, 0.25 + 3.0, 0.25 - 2.0], jnp.float32)
+    v = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    tid = jnp.zeros(3, jnp.int32)
+    r0, g0, b0 = tx.sample(factors, u, v, tid)
+    np.testing.assert_allclose(np.asarray(r0)[0], np.asarray(r0)[1], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r0)[0], np.asarray(r0)[2], rtol=1e-5)
+    # A different slot at the same (u, v) gives a different color.
+    other = tx.sample(factors, u, v, jnp.full(3, tx.TEX["leaf"], jnp.int32))
+    assert abs(float(r0[0]) - float(other[0][0])) > 1e-4 or \
+        abs(float(g0[0]) - float(other[1][0])) > 1e-4
+
+
+def test_render_with_image_textures_changes_rgb_only(factors):
+    roster = world_mod.make_roster(CFG)
+    pose = world_mod.default_pose(roster, CFG)
+    world = world_mod.build_world(roster, pose)
+    caster = rc.make_raycaster(roster, scene_cfg=CFG)
+    intr = camera.intrinsics_from_apertures(12.0, 25.0, 128, 96)
+    cam = jnp.asarray([9.0, 4.0, 3.0], jnp.float32)
+    tgt = jnp.asarray([0.0, 0.0, 1.5], jnp.float32)
+    base = annotate.render_frame(roster, caster, world, cam, tgt, intr)
+    texd = annotate.render_frame(roster, caster, world, cam, tgt, intr,
+                                 texture_factors=factors)
+    np.testing.assert_array_equal(np.asarray(base.depth),
+                                  np.asarray(texd.depth))
+    np.testing.assert_array_equal(np.asarray(base.instance),
+                                  np.asarray(texd.instance))
+    np.testing.assert_array_equal(np.asarray(base.kpt_visible),
+                                  np.asarray(texd.kpt_visible))
+    a = np.asarray(base.rgb, np.float32)
+    b = np.asarray(texd.rgb, np.float32)
+    changed = np.abs(a - b).max(-1) > 2
+    assert changed.any()
+    inst = np.asarray(base.instance)
+    classes = set()
+    names = roster.inst_class_names
+    for i in np.unique(inst[changed]):
+        classes.add("ground" if i == -1 else ("sky" if i == -2 else names[i]))
+    # Mapped surfaces change; sky never does.
+    assert "sky" not in classes
+    assert "ground" in classes or "tree" in classes, classes
+    # Cones and fences have no image-texture mapping: their pixels are
+    # untouched (procedural bands/grid remain authoritative).
+    for i in np.unique(inst):
+        if i >= 0 and names[i] in ("cone", "fence"):
+            assert not changed[inst == i].any(), names[i]
+
+
+def test_pipeline_image_textures_flag():
+    from constructionsceneposeestimation_tpu.config import PipelineConfig
+    from constructionsceneposeestimation_tpu.parallel import (
+        pipeline as pipeline_mod)
+
+    cfg = Config(pipeline=PipelineConfig(render_width=64, render_height=48,
+                                         batch_size=2))
+    pipe = pipeline_mod.Pipeline(cfg, vmap_chunk=2, image_textures=True)
+    gen = jax.jit(pipe.make_generate_fn())
+    batch = gen(jax.random.PRNGKey(0), jnp.arange(2))
+    assert np.asarray(batch.rgb).std() > 5.0

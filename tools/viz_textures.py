@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Side-by-side viz: flat-Lambert vs procedural-texture + contact-AO RGB.
+"""Side-by-side viz: flat-Lambert vs procedural textures vs IMAGE textures.
 
-Renders the same ladder viewpoints twice (render/annotate.render_frame with
-procedural_textures off/on) and writes a stacked comparison PNG per frame
-plus an index.html. Run on any backend:
+Renders the same ladder viewpoints three ways (render/annotate.render_frame
+with procedural_textures off/on, then with the real-image low-rank texture
+tier from render/textures.py stacked on top) and writes a comparison PNG per
+frame plus an index.html. Run on any backend:
 
     python tools/viz_textures.py --out /tmp/texviz --frames 4
 """
@@ -41,7 +42,10 @@ def main():
     cams, tgts = camera_sampler.systematic_camera_positions(
         max(args.frames, 8), jax.random.PRNGKey(args.seed + 99))
 
-    def frame(seed, i, textures):
+    from constructionsceneposeestimation_tpu.render import textures as tex_mod
+    factors = tex_mod.load_factors()
+
+    def frame(seed, i, textures, image_tex=False):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
         k_scene, k_light = jax.random.split(key)
         from constructionsceneposeestimation_tpu.sample import placement
@@ -53,19 +57,22 @@ def main():
         ann = annotate.render_frame(
             pipe.roster, pipe.caster, world, cams[i % len(cams)],
             tgts[i % len(tgts)], pipe.intr, lighting=lit,
-            procedural_textures=textures)
+            procedural_textures=textures,
+            texture_factors=factors if image_tex else None)
         return ann.rgb
 
     rows = []
     for i in range(args.frames):
-        flat = np.asarray(jax.jit(frame, static_argnums=2)(args.seed, i, False))
-        tex = np.asarray(jax.jit(frame, static_argnums=2)(args.seed, i, True))
-        pair = np.concatenate([flat, tex], axis=1)  # side by side
+        jf = jax.jit(frame, static_argnums=(2, 3))
+        flat = np.asarray(jf(args.seed, i, False, False))
+        tex = np.asarray(jf(args.seed, i, True, False))
+        imtex = np.asarray(jf(args.seed, i, True, True))
+        trip = np.concatenate([flat, tex, imtex], axis=1)  # side by side
         path = os.path.join(args.out, f"frame_{i:02d}.png")
-        viz.save_png(path, pair)
-        rows.append(f'<div><p>frame {i}: flat (left) vs procedural textures '
-                    f'+ contact AO (right)</p><img src="frame_{i:02d}.png" '
-                    f'width="100%"/></div>')
+        viz.save_png(path, trip)
+        rows.append(f'<div><p>frame {i}: flat | procedural textures + AO | '
+                    f'+ real image textures (bark/leaf/fabric/ground)</p>'
+                    f'<img src="frame_{i:02d}.png" width="100%"/></div>')
         print("wrote", path)
     with open(os.path.join(args.out, "index.html"), "w") as f:
         f.write("<html><body><h2>Procedural texture pass</h2>"
