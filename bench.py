@@ -32,8 +32,9 @@ STEPS = 4
 def main() -> None:
     cfg = Config(pipeline=PipelineConfig(render_width=512, render_height=512,
                                          batch_size=BATCH))
+    on_tpu = jax.default_backend() == "tpu"
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+        cfg, use_pallas_heatmaps=on_tpu, use_rgb_kernel=on_tpu, vmap_chunk=8)
     gen = pipe.make_generate_fn(ladder=False)
 
     # Device-side loop with an un-elidable chain: each step's PRNG seed folds

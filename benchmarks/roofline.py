@@ -137,12 +137,14 @@ def _consumers(fine: bool = False):
     return rows
 
 
-def build_run(batch, steps, consume, textures=True, vmap_chunk=8):
+def build_run(batch, steps, consume, textures=True, vmap_chunk=8,
+              rgb_ablate=frozenset()):
     cfg = Config(pipeline=PipelineConfig(render_width=512, render_height=512,
                                          batch_size=batch))
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
-        vmap_chunk=vmap_chunk, procedural_textures=textures)
+        vmap_chunk=vmap_chunk, procedural_textures=textures,
+        rgb_ablate=rgb_ablate)
     gen = pipe.make_generate_fn(ladder=False)
 
     def step(carry, _):
@@ -210,7 +212,27 @@ def main():
     ap.add_argument("--fine", action="store_true",
                     help="sub-split the keypoint stage (uv / occlusion / "
                          "SVD / rasterizer)")
+    ap.add_argument("--rgb-fine", action="store_true",
+                    help="ablate RGB sub-stages one at a time (normals / "
+                         "local / patterns / ao / barrier / hash / gamma) "
+                         "and print each cost as a delta vs the full render")
     args = ap.parse_args()
+
+    if args.rgb_fine:
+        run, _ = build_run(args.batch, args.steps, full_consume)
+        base = _chained_time(run, args.steps)
+        print(f"## RGB sub-stage ablation (batch {args.batch}, full render "
+              f"= {base * 1e3:.1f} ms/batch, {args.batch / base:.0f} f/s)")
+        print("| ablated | ms/batch | f/s | stage cost (Δms) |")
+        print("|---|---|---|---|")
+        for tok in ("normals", "local", "patterns", "ao", "barrier",
+                    "hash", "gamma"):
+            run, _ = build_run(args.batch, args.steps, full_consume,
+                               rgb_ablate=frozenset({tok}))
+            dt = _chained_time(run, args.steps)
+            print(f"| -{tok} | {dt * 1e3:.1f} | {args.batch / dt:.0f} "
+                  f"| {(base - dt) * 1e3:+.1f} |", flush=True)
+        return
 
     peaks = None
     if not args.skip_peaks:

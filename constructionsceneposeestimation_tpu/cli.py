@@ -37,6 +37,7 @@ def cmd_generate(args) -> None:
     # cull is a while_loop whose trip count vmap would max over the batch.
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+        use_rgb_kernel=jax.default_backend() == "tpu",
         vmap_chunk=1 if getattr(args, "hifi", False) else 8,
         hifi_mesh=getattr(args, "hifi", False),
         image_textures=getattr(args, "image_textures", False))
@@ -119,7 +120,8 @@ def _run_training(args):
     )
     model = pose_net.make_model(lite=args.lite)
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+        use_rgb_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
     state = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed))
     mgr = None
     if getattr(args, "ckpt_dir", None):
@@ -344,7 +346,8 @@ def cmd_train_crop(args) -> None:
                           camera_mix=getattr(args, "camera_mix", 0.0)),
     )
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+        use_rgb_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
     model = crop_loop.make_crop_model(args.cls, lite=args.lite,
                                       roster=pipe.roster,
                                       output_stride=getattr(args, "stride", 4))
@@ -427,7 +430,8 @@ def cmd_train_detect(args) -> None:
                           camera_mix=getattr(args, "camera_mix", 0.0)),
     )
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu", vmap_chunk=8)
+        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+        use_rgb_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
     model = detect_loop.make_detect_model(
         lite=args.lite, output_stride=getattr(args, "det_stride", 4))
     from .train import loop as train_loop
@@ -463,6 +467,7 @@ def cmd_train_detect(args) -> None:
             # meshes (unvmapped — see render/meshcast.py on vmap vs the cull).
             hifi_pipe = pipeline_mod.Pipeline(
                 cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+                use_rgb_kernel=jax.default_backend() == "tpu",
                 vmap_chunk=1, hifi_mesh=True,
                 image_textures=getattr(args, "image_textures", False))
         run = jax.jit(detect_loop.make_scanned_detect_train_fn(
@@ -490,6 +495,7 @@ def cmd_train_detect(args) -> None:
         # eval frames render the baked CAD meshes (render/meshcast.py).
         eval_pipe = pipeline_mod.Pipeline(
             cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+            use_rgb_kernel=jax.default_backend() == "tpu",
             vmap_chunk=1, hifi_mesh=True,
             image_textures=getattr(args, "image_textures", False))
         print("eval frames: hifi CAD-mesh renders (proxy-trained models)")
@@ -592,6 +598,7 @@ def cmd_infer(args) -> None:
     # cull is a while_loop whose trip count vmap would max over the batch.
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+        use_rgb_kernel=jax.default_backend() == "tpu",
         vmap_chunk=1 if getattr(args, "hifi", False) else 8,
         hifi_mesh=getattr(args, "hifi", False),
         image_textures=getattr(args, "image_textures", False))

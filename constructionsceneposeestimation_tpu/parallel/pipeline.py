@@ -60,6 +60,9 @@ class Pipeline:
 
     cfg: Config
     use_pallas_heatmaps: bool = False
+    # Fused Pallas RGB epilogue (render/rgb_kernel.py) — replaces the jnp
+    # normals/patterns/AO/shade/gamma tier on the standard render path.
+    use_rgb_kernel: bool = False
     vmap_chunk: int = 4
     # RGB fidelity knobs (benchmarks/roofline.py stage isolation; production
     # keeps both True — the procedural-texture pass is the sim-to-real tier).
@@ -68,6 +71,9 @@ class Pipeline:
     # leaf, garment fabrics — render/textures.py low-rank MXU sampling) on
     # top of the procedural patterns. Opt-in (--image-textures).
     image_textures: bool = False
+    # Measurement-only RGB sub-stage ablation (annotate.render_frame's
+    # rgb_ablate; benchmarks/roofline.py --rgb-fine). Never set in production.
+    rgb_ablate: frozenset = frozenset()
     # Hifi mesh mode: baked CAD triangle templates (render/meshcast.py)
     # replace the analytic proxies for the classes the reference crate
     # authors geometry for. Labels/keypoints stay template-based (PARITY.md
@@ -148,6 +154,8 @@ class Pipeline:
             lighting=lit, shade_rgb=cfg.pipeline.write_rgb,
             procedural_textures=self.procedural_textures,
             texture_factors=self.texture_factors,
+            rgb_ablate=self.rgb_ablate,
+            use_rgb_kernel=self.use_rgb_kernel,
             bug_compatible=cfg.pipeline.bug_compatible_schema,
             far_clip=cfg.camera.clipping[1],
         )

@@ -32,6 +32,7 @@ import numpy as np
 from ..core import camera as cam_mod
 from ..core import transforms
 from ..scene import world as world_mod
+from . import rgb_kernel as rgb_kernel_mod
 from . import shading as sh
 
 Array = jax.Array
@@ -73,6 +74,23 @@ def _shade_dtype():
     return jnp.float32
 
 
+def _ao_table(roster, O_: int):
+    """Static contact-AO rows: every non-fence instance (fence panels sit at
+    the yard boundary where contact shading is invisible at DR range, yet
+    would be half the (A, N) chain) and its footprint radius capped at 2 m
+    (airborne spans — crane boom — must not darken half the yard)."""
+    f0, f1 = getattr(roster, "fence_slice", (O_, O_))
+    ao_rows = np.concatenate(
+        [np.arange(f0), np.arange(f1, O_)]).astype(np.int32)
+    if ao_rows.size == 0:  # degenerate all-fence roster
+        ao_rows = np.arange(O_, dtype=np.int32)
+    foot_r = jnp.asarray(
+        np.minimum(np.maximum(np.abs(roster.inst_aabb_min[ao_rows, :2]),
+                              np.abs(roster.inst_aabb_max[ao_rows, :2]))
+                   .max(-1), 2.0), jnp.float32)  # (A,)
+    return ao_rows, foot_r
+
+
 class FrameAnnotations(NamedTuple):
     depth: Array  # (H, W) distance to image plane; +inf on sky
     instance: Array  # (H, W) int32 instance id, -1 ground, -2 sky
@@ -107,11 +125,18 @@ def render_frame(
     texture_factors=None,
     bug_compatible: bool = False,
     far_clip: float = 250.0,
+    rgb_ablate: frozenset = frozenset(),
+    use_rgb_kernel: bool = False,
 ) -> FrameAnnotations:
     """Annotate a single frame. vmap over (world, cam_pos, target) for batches.
 
     Default uses the packed fast ray sweep + screen-space normals;
-    ``analytic_normals=True`` selects the slow exact-normal path."""
+    ``analytic_normals=True`` selects the slow exact-normal path.
+
+    ``rgb_ablate`` (measurement-only; benchmarks/roofline.py --rgb-fine):
+    tokens that skip one RGB sub-stage each so its cost shows as a timing
+    delta — {"normals", "local", "patterns", "ao", "barrier", "hash",
+    "gamma"}. Production paths never set it."""
     H, W = intr.height, intr.width
     M = cam_mod.look_at_matrix(cam_pos, target)
     origin, dirs = cam_mod.pixel_rays(intr, cam_pos, M)
@@ -174,7 +199,10 @@ def render_frame(
         pwx = origin[0] + t_safe * rdx  # world hit position planes
         pwy = origin[1] + t_safe * rdy
         pwz = origin[2] + t_safe * rdz
-        if "normal" in hit:  # analytic-normal caster path
+        if "normals" in rgb_ablate:
+            normal = (jnp.zeros_like(pwx, sdt), jnp.zeros_like(pwx, sdt),
+                      jnp.ones_like(pwx, sdt))
+        elif "normal" in hit:  # analytic-normal caster path
             normal = (hit["normal"][:, 0], hit["normal"][:, 1],
                       hit["normal"][:, 2])
         else:
@@ -228,29 +256,60 @@ def render_frame(
         else:
             px_tab = _einsum("co,on->cn", table.T,
                              onehot.astype(jnp.float32))  # (C, N), exact f32
+        lighting = lighting if lighting is not None else sh.default_lighting()
+        # Fused Pallas epilogue: ONE kernel replaces normals / patterns /
+        # AO / shade / gamma (render/rgb_kernel.py — the jnp tier below is
+        # fusion-structure-bound, see that module's docstring). The jnp path
+        # remains for the optional tiers the kernel doesn't cover.
+        use_fused = (use_rgb_kernel and procedural_textures
+                     and texture_factors is None and not sun_shadows
+                     and "normal" not in hit and not rgb_ablate
+                     and sdt == jnp.float32
+                     and rgb_kernel_mod.supported(H, W))
+        if use_fused:
+            # The kernel's dominant HBM cost is reading the 16 materialized
+            # table planes, so store them bf16 (f32-accumulated dot, then
+            # cast). Numerics: class ids exact (|id| <= 256), albedo/rotation
+            # ~0.4% (sub-u8), instance positions ~2-4 cm at the fence-bounded
+            # yard extent -> pattern phase well under the 6-50 cm band sizes.
+            # Labels never read these planes.
+            px_tab_b = jnp.einsum(
+                "co,on->cn", table.T.astype(jnp.bfloat16),
+                onehot.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            ao_rows, foot_r = _ao_table(roster, O_)
+            rgb = rgb_kernel_mod.fused_rgb(
+                hit["t"], px_tab_b, cam_pos, M, intr, lighting,
+                inst_pos[jnp.asarray(ao_rows), :2], foot_r,
+                interpret=jax.default_backend() != "tpu")
         # The shading/texture tier runs at _shade_dtype (bf16 by default);
         # only the RGB image reads these planes, never a label. World-frame
         # SUBTRACTIONS stay f32 (bf16 at ~16 m is ~6 cm — catastrophic for
         # differences); everything after the cancellation is cast.
         albedo = (px_tab[0].astype(sdt), px_tab[1].astype(sdt),
                   px_tab[2].astype(sdt))
-        lighting = lighting if lighting is not None else sh.default_lighting()
-        if procedural_textures:
+        if use_fused:
+            pass
+        elif procedural_textures:
             # Hit position in the owning instance's LOCAL frame: patterns
             # (cone bands, crane stripes, vest) ride the object under DR.
             # l_i = sum_j R[j, i] * (p_w - pos)_j with R row-major at rows
             # 3..11 of the packed table (R^T, world -> local). The f32
             # subtraction feeds a sdt rotate: local coords are O(1 m), so
             # bf16 costs ~1 cm of pattern phase (bands are 6-50 cm).
-            dxw = (pwx - px_tab[12]).astype(sdt)
-            dyw = (pwy - px_tab[13]).astype(sdt)
-            dzw = (pwz - px_tab[14]).astype(sdt)
-            rt = px_tab[3:12].astype(sdt)
-            lx = rt[0] * dxw + rt[3] * dyw + rt[6] * dzw
-            ly = rt[1] * dxw + rt[4] * dyw + rt[7] * dzw
-            lz = rt[2] * dxw + rt[5] * dyw + rt[8] * dzw
-            albedo = sh.procedural_albedo(albedo, lx, ly, lz,
-                                          px_tab[15].astype(sdt), lighting)
+            if "local" in rgb_ablate:
+                lx = ly = lz = jnp.zeros_like(pwx, sdt)
+            else:
+                dxw = (pwx - px_tab[12]).astype(sdt)
+                dyw = (pwy - px_tab[13]).astype(sdt)
+                dzw = (pwz - px_tab[14]).astype(sdt)
+                rt = px_tab[3:12].astype(sdt)
+                lx = rt[0] * dxw + rt[3] * dyw + rt[6] * dzw
+                ly = rt[1] * dxw + rt[4] * dyw + rt[7] * dzw
+                lz = rt[2] * dxw + rt[5] * dyw + rt[8] * dzw
+            if "patterns" not in rgb_ablate:
+                albedo = sh.procedural_albedo(albedo, lx, ly, lz,
+                                              px_tab[15].astype(sdt), lighting)
             if texture_factors is not None:
                 # Image-texture tier: the reference's REAL texture images as
                 # low-rank MXU contractions (render/textures.py). Off on the
@@ -264,25 +323,12 @@ def render_frame(
             # fusion roots in shade() otherwise each re-compute the full
             # albedo DAG (sqrt/sin/floor + ~24 selects) — measured 1.35x on
             # the end-to-end pipeline (69 -> 51 ms per 64-frame batch).
-            albedo = jax.lax.optimization_barrier(albedo)
+            if "barrier" not in rgb_ablate:
+                albedo = jax.lax.optimization_barrier(albedo)
             # Contact AO on ground pixels: ambient falls off toward each
             # instance's footprint (cheap grounding cue; the hard sun shadow
-            # is the optional sun_shadows sweep).
-            # Footprint radius capped at 2 m: airborne spans (crane boom)
-            # must not darken half the yard. Fence panels are excluded from
-            # the proximity chain: their 0.45 m footprint sits at the yard
-            # boundary where contact shading is invisible at DR range, yet
-            # fence rows would be half of the (O, N) chain (the AO chain
-            # costs ~1/6 of the whole RGB tier at O=40).
-            f0, f1 = getattr(roster, "fence_slice", (O_, O_))
-            ao_rows = np.concatenate(
-                [np.arange(f0), np.arange(f1, O_)]).astype(np.int32)
-            if ao_rows.size == 0:  # degenerate all-fence roster
-                ao_rows = np.arange(O_, dtype=np.int32)
-            foot_r = jnp.asarray(
-                np.minimum(np.maximum(np.abs(roster.inst_aabb_min[ao_rows, :2]),
-                                      np.abs(roster.inst_aabb_max[ao_rows, :2]))
-                           .max(-1), 2.0), jnp.float32)  # (A,)
+            # is the optional sun_shadows sweep). Row set: _ao_table.
+            ao_rows, foot_r = _ao_table(roster, O_)
             pos_ao = inst_pos[ao_rows]  # static-row gather, (A, 3)
             # SoA (A, N) planes: a (N, A, 2)-shaped difference would put the
             # 2-vector on lanes (the tiling anti-pattern the sweep avoids);
@@ -298,6 +344,8 @@ def render_frame(
             ao_ground = 0.45 + 0.55 * jnp.min(prox, axis=0)
             ao = jnp.where(hit["inst"] == -1, ao_ground,
                            jnp.asarray(1.0, sdt))
+            if "ao" in rgb_ablate:
+                ao = None
         else:
             ao = None
         shadow_t = None
@@ -312,10 +360,14 @@ def render_frame(
                 world, p_hit + sun_d[None, :] * bias,
                 jnp.broadcast_to(sun_d, p_hit.shape))
             shadow_t = shadow_hit["t"]
-        rgb_planes = sh.shade(hit["t"], normal, (pwx, pwy, pwz),
-                              (rdx, rdy, rdz), albedo, lighting, shadow_t,
-                              ao=ao)
-        rgb = sh.linear_to_srgb_u8(rgb_planes, H, W)
+        if not use_fused:
+            rgb_planes = sh.shade(hit["t"], normal, (pwx, pwy, pwz),
+                                  (rdx, rdy, rdz), albedo, lighting, shadow_t,
+                                  ao=ao,
+                                  texture_strength=(
+                                      0.0 if "hash" in rgb_ablate else 0.15))
+            rgb = sh.linear_to_srgb_u8(rgb_planes, H, W,
+                                       gamma="gamma" not in rgb_ablate)
     else:
         rgb = jnp.zeros((H, W, 3), jnp.uint8)
 

@@ -6,8 +6,12 @@ The reference renders real CAD meshes through Isaac's RTX path
 closes the remaining silhouette gap for the classes whose triangle geometry
 the reference crate actually authors (traffic cone, fence panel, tree —
 extracted + decimated by tools/extract_meshes.py into
-``data/mesh_templates.npz``; crane/dumper/worker bodies are LFS stubs
-upstream, see PARITY.md).
+``data/mesh_templates.npz``; crane/dumper bodies are LFS stubs upstream,
+see PARITY.md), plus a SKINNED worker: a baked capsule-shell mesh with
+two-bone linear-blend weights (tools/make_worker_skin.py, ``load_skin``)
+replaces the rigid per-segment capsules so bent joints render smooth
+creases instead of segment seams — the stand-in for the reference's DHGen
+SkelRoot rig (generate_construction_data.py:1158-1200, rig an LFS stub).
 
 TPU shaping — no BVH, no per-ray divergence:
 
@@ -64,9 +68,31 @@ _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 DATA_NPZ = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "data", "mesh_templates.npz")
 
-DEFAULT_CLASSES = ("trafficcone", "tree", "fence")
+DEFAULT_CLASSES = ("trafficcone", "tree", "fence", "human")
 
 _BIG = np.float32(3e38)
+
+SKIN_NPZ = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "data", "worker_skin.npz")
+
+
+@functools.lru_cache(maxsize=1)
+def load_skin(path: str = SKIN_NPZ):
+    """Baked skinned worker mesh (tools/make_worker_skin.py): capsule-shell
+    triangles with two-bone LBS weights against the human template's OWN
+    primitives as bones — ``v_w = sum_j w_j (prim_rot[bone_j] @ v_loc_j +
+    prim_pos[bone_j])`` with the posed world-frame prim transforms
+    build_world already computes for articulated humans. None if the npz
+    is absent (hifi humans then stay analytic capsules).
+
+    Replaces the reference's DHGen SkelRoot skinning
+    (generate_construction_data.py:1158-1200; the rig itself is an LFS stub
+    upstream — SURVEY §7 hard-part 5's minimal LBS pass)."""
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return {k: z[k] for k in ("verts", "faces", "bone_ids", "weights",
+                              "v_loc", "aabb_lo", "aabb_hi")}
 
 
 def load_templates(path: str | None = None
@@ -128,23 +154,41 @@ def make_mesh_caster(roster: world_mod.Roster,
     """
     del chunk
     templates = load_templates() if templates is None else templates
-    groups = []  # (verts, faces_padded, ids, n_blocks_per_inst, lo, hi)
+    groups = []  # (verts, faces_padded, ids, n_blocks_per_inst, lo, hi, skin)
     n_tri_true = 0
     for cls in classes:
-        if cls not in templates:
+        skin = load_skin() if cls == "human" else None
+        if cls not in templates and skin is None:
             continue
         ids = [i for i, name in enumerate(roster.inst_class_names)
                if name == cls]
         if not ids:
             continue
-        v, f = templates[cls]
+        if skin is not None:
+            # Skinned worker: bones are the human's own prim rows (template
+            # order — build_world writes the posed transforms there).
+            prim_inst = np.asarray(roster.prim_inst)
+            bone_rows = np.stack([np.nonzero(prim_inst == i)[0]
+                                  for i in ids])  # (I, B)
+            v, f = skin["verts"], skin["faces"]
+            skin_jnp = {
+                "v_loc": jnp.asarray(skin["v_loc"]),        # (V, 2, 3)
+                "w": jnp.asarray(skin["weights"]),          # (V, 2)
+                "bone_ids": np.asarray(skin["bone_ids"]),   # (V, 2) static
+                "bone_rows": np.asarray(bone_rows),         # (I, B) static
+            }
+            lo, hi = skin["aabb_lo"], skin["aabb_hi"]
+        else:
+            v, f = templates[cls]
+            skin_jnp = None
+            lo, hi = v.min(0), v.max(0)
         n_tri_true += len(f) * len(ids)
         nb = -(-len(f) // tri_block)
         pad = nb * tri_block - len(f)
         # pad with degenerate [0,0,0] triples: zero-area -> det 0 -> miss
         fp = np.concatenate([f, np.zeros((pad, 3), np.int32)])
         groups.append((jnp.asarray(v), fp, np.asarray(ids), nb,
-                       v.min(0), v.max(0)))
+                       lo, hi, skin_jnp))
     if not groups:
         return None
 
@@ -154,7 +198,7 @@ def make_mesh_caster(roster: world_mod.Roster,
 
     # Per-block owner (index into the MESHED instance list) + packed code.
     block_owner, codes, tpl_lo, tpl_hi = [], [], [], []
-    for _, fp, ids, nb, lo, hi in groups:
+    for _, fp, ids, nb, lo, hi, _skin in groups:
         for inst in ids:
             block_owner += [len(tpl_lo)] * nb
             codes.append(np.full(nb * tri_block, inst + 2, np.int32))
@@ -173,10 +217,23 @@ def make_mesh_caster(roster: world_mod.Roster,
         """Per-tri world corners as (n_blocks, tri_block, 3) x3."""
         inst_rot, inst_pos = world["inst_rot"], world["inst_pos"]
         c0s, c1s, c2s = [], [], []
-        for verts, fp, ids, nb, _, _ in groups:
-            R = inst_rot[jnp.asarray(ids)]  # (I, 3, 3)
-            p = inst_pos[jnp.asarray(ids)]  # (I, 3)
-            vw = _einsum("ikj,vj->ivk", R, verts) + p[:, None, :]  # (I, V, 3)
+        for verts, fp, ids, nb, _, _, skin in groups:
+            if skin is not None:
+                # Two-bone LBS against the posed per-prim world transforms
+                # (the human's capsules ARE the bones — load_skin docstring).
+                R_all = world["prim_rot"][skin["bone_rows"]]  # (I, B, 3, 3)
+                p_all = world["prim_pos"][skin["bone_rows"]]  # (I, B, 3)
+                vw = 0.0
+                for j in range(2):
+                    bj = skin["bone_ids"][:, j]  # (V,) static
+                    vj = (_einsum("ivkj,vj->ivk", R_all[:, bj],
+                                  skin["v_loc"][:, j])
+                          + p_all[:, bj])  # (I, V, 3)
+                    vw = vw + skin["w"][:, j][None, :, None] * vj
+            else:
+                R = inst_rot[jnp.asarray(ids)]  # (I, 3, 3)
+                p = inst_pos[jnp.asarray(ids)]  # (I, 3)
+                vw = _einsum("ikj,vj->ivk", R, verts) + p[:, None, :]  # (I, V, 3)
             # static tiny gathers: V <= ~800, I <= ~20
             c0s.append(vw[:, fp[:, 0], :].reshape(-1, 3))
             c1s.append(vw[:, fp[:, 1], :].reshape(-1, 3))

@@ -165,8 +165,11 @@ def shade(
     nx, ny, nz = (cast(n) for n in normal)
     is_hit = jnp.isfinite(t)
 
-    tex = 1.0 + texture_strength * cast(lighting.tex_strength) \
-        * (cast(_hash_noise(*hit_pos)) - 0.5) * 2.0
+    if texture_strength == 0.0:  # trace-time skip (roofline rgb ablation)
+        tex = jnp.asarray(1.0, dt)
+    else:
+        tex = 1.0 + texture_strength * cast(lighting.tex_strength) \
+            * (cast(_hash_noise(*hit_pos)) - 0.5) * 2.0
 
     sd = cast(lighting.sun_dir)
     ndotl = jnp.maximum(-(nx * sd[0] + ny * sd[1] + nz * sd[2]), 0.0)
@@ -246,12 +249,15 @@ def _gamma22(c: Array) -> Array:
     return a * (0.7844735 + 0.29726508 * s3 - 0.08179099 * s2)
 
 
-def linear_to_srgb_u8(rgb: Planes3, h: int, w: int) -> Array:
+def linear_to_srgb_u8(rgb: Planes3, h: int, w: int,
+                      gamma: bool = True) -> Array:
     """Tone-map linear RGB planes [0,1] -> (H, W, 3) uint8 sRGB-ish
     (gamma 2.2). The stack is the ONLY trailing-3 tensor on the RGB path.
     The gamma chain runs in the incoming plane dtype (bf16 is ~0.4% relative
     ≈ ±1 u8 level); the final *255 + round is f32 so the u8 quantization
-    itself is exact."""
-    chans = [jnp.round(_gamma22(jnp.clip(c, 0.0, 1.0)).astype(jnp.float32)
+    itself is exact. ``gamma=False`` (roofline rgb ablation only) writes
+    linear u8."""
+    curve = _gamma22 if gamma else (lambda c: c)
+    chans = [jnp.round(curve(jnp.clip(c, 0.0, 1.0)).astype(jnp.float32)
                        * 255.0).astype(jnp.uint8).reshape(h, w) for c in rgb]
     return jnp.stack(chans, axis=-1)
