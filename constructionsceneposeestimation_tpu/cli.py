@@ -502,7 +502,9 @@ def cmd_train_detect(args) -> None:
     gen = jax.jit(eval_pipe.make_generate_fn(ladder=args.eval_ladder))
     eval_seed = jax.random.PRNGKey(args.seed + 1000)
     batch = gen(eval_seed, jnp.arange(args.eval_frames))
-    det = eval_pipeline.evaluate_detector(batch, pipe.roster, model, state.params)
+    det = eval_pipeline.evaluate_detector(
+        batch, pipe.roster, model, state.params,
+        analysis=getattr(args, "det_analysis", False))
     per_cls = " ".join(
         f"{c}={float(det[f'precision_{c}']):.2f}/{float(det[f'recall_{c}']):.2f}"
         for c in ("dumper", "crane", "human", "trafficcone"))
@@ -514,6 +516,13 @@ def cmd_train_detect(args) -> None:
     print(f"detector P/R @IoU0.5: {float(det['precision']):.3f}/"
           f"{float(det['recall']):.3f}  [{per_cls}]")
     print(f"  crane parts P/R: [{parts_pr}]  mAP@0.5 {float(det['map']):.3f}")
+    if getattr(args, "det_analysis", False):
+        for c in detect_ops.DET_CLASSES:
+            ms, mc, ml = (float(det[f"miss_{k}_{c}"])
+                          for k in ("score", "cls", "loc"))
+            if ms + mc + ml > 1e-6:
+                print(f"  miss split {c}: score {ms:.2f} cls {mc:.2f} "
+                      f"loc {ml:.2f}  (recall {float(det[f'recall_{c}']):.2f})")
 
     if args.crop_ckpt:
         from .train import checkpoint, crop_loop
@@ -961,6 +970,10 @@ def main() -> None:
     td.add_argument("--hifi-eval", action="store_true",
                     help="evaluate on hifi CAD-mesh renders (sim-to-sim "
                          "transfer gap for proxy-trained models)")
+    td.add_argument("--det-analysis", action="store_true",
+                    help="oracle-IoU miss diagnosis per class: split missed "
+                         "GTs into score / classification / localization "
+                         "misses (eval/pipeline.evaluate_detector)")
     td.set_defaults(fn=cmd_train_detect)
 
     inf = sub.add_parser("infer", help="deployment inference: detector -> "

@@ -568,13 +568,22 @@ def _iou(a: Array, b: Array) -> Array:
 
 def evaluate_detector(
     batch, roster, model, params, score_threshold: float = 0.3,
-    iou_thresh: float = 0.5, max_det: int = 8,
+    iou_thresh: float = 0.5, max_det: int = 8, analysis: bool = False,
 ) -> Dict[str, Array]:
     """Detection quality vs the renderer's pixel-tight boxes: per-class and
     aggregate precision/recall at IoU>=``iou_thresh`` under ONE-TO-ONE greedy
     score-ordered matching (duplicates of a matched GT count as FP), plus
     per-class all-point AP@IoU (``ap_<cls>``, mean in ``map``) and the best
-    dumper box for the crop hand-off. Returns the decoded boxes too."""
+    dumper box for the crop hand-off. Returns the decoded boxes too.
+
+    ``analysis=True`` additionally splits each class's MISSED ground truths
+    (oracle-IoU diagnosis, recall = 1 - sum of the three):
+      ``miss_score_<c>`` — a same-class detection localizes it (IoU >= thr)
+        but scored below threshold / lost the one-to-one match;
+      ``miss_cls_<c>``  — some OTHER class's detection localizes it
+        (classification confusion);
+      ``miss_loc_<c>``  — no detection of any class localizes it.
+    """
     from ..models import pose_net
     from ..ops import detect as detect_ops
     from ..ops import preprocess
@@ -609,15 +618,32 @@ def evaluate_detector(
         # steal a kept detection's GT; one pass therefore serves both the
         # thresholded P/R and the ranked AP.
         taken = jnp.zeros((iou.shape[0], O), bool)
+        taken_kept = jnp.zeros((iou.shape[0], O), bool)
         hits = []
         for d in range(D):
             iou_d = jnp.where(taken, 0.0, iou[:, d])  # (B, O)
             best = jnp.argmax(iou_d, axis=-1)
             hit = jnp.max(iou_d, axis=-1) >= iou_thresh
-            taken = taken | ((jnp.arange(O)[None, :] == best[:, None])
-                             & hit[:, None])
+            claimed = (jnp.arange(O)[None, :] == best[:, None]) & hit[:, None]
+            taken = taken | claimed
+            taken_kept = taken_kept | (claimed & keep[:, d][:, None])
             hits.append(hit)
         det_hit = jnp.stack(hits, 1)  # (B, D)
+        if analysis:
+            # Oracle-IoU split of the misses (see docstring). Same-class
+            # localization ignores score and the one-to-one claim; any-class
+            # localization uses every decoded box of every class.
+            missed = gsel & ~taken_kept  # (B, O)
+            same_loc = jnp.max(iou, axis=1) >= iou_thresh  # (B, O)
+            all_b = boxes.reshape(boxes.shape[0], -1, 4)
+            iou_any = _iou(all_b[:, :, None, :], gt_boxes[:, None, :, :])
+            any_loc = jnp.max(iou_any, axis=1) >= iou_thresh  # (B, O)
+            n_gt_a = jnp.maximum(jnp.sum(gsel), 1)
+            out[f"miss_score_{cname}"] = jnp.sum(missed & same_loc) / n_gt_a
+            out[f"miss_cls_{cname}"] = jnp.sum(
+                missed & ~same_loc & any_loc) / n_gt_a
+            out[f"miss_loc_{cname}"] = jnp.sum(
+                missed & ~any_loc) / n_gt_a
         tp = jnp.sum(det_hit & keep)
         fp = jnp.sum(~det_hit & keep)
         n_gt = jnp.sum(gsel)
@@ -686,17 +712,18 @@ def crane_part_keypoints(
     stride = getattr(model, "output_stride", 4)
     B = rgb.shape[0]
 
-    def one(img, cu1, cv1, h1):
+    def one(img, cu1, cv1, hu1, hv1):
         c = crop_ops.crop_resize(img.astype(jnp.float32) / 255.0,
-                                 cu1, cv1, h1, crop_size)
+                                 cu1, cv1, hu1, crop_size, half_v=hv1)
         return preprocess.normalize(c)
 
-    # min_half matches crop_loop.crop_batch_crane_parts (degenerate thin
-    # telescopic boxes need joint context in the crop).
-    cu, cv, half = crop_ops.square_roi(pboxes, min_half=24.0)  # (B, 4)
-    imgs = jax.vmap(lambda img, cs, vs, hs: jax.vmap(
-        lambda c1, v1, h1: one(img, c1, v1, h1))(cs, vs, hs))(
-            rgb, cu, cv, half)  # (B, 4, c, c, 3)
+    # min_half + ASPECT-MATCHED rect_roi match crop_loop's
+    # crop_batch_crane_parts exactly (the net only ever saw that mapping).
+    cu, cv, hu, hv = crop_ops.rect_roi(pboxes, min_half=24.0)  # (B, 4)
+    imgs = jax.vmap(lambda img, cs, vs, hus, hvs: jax.vmap(
+        lambda c1, v1, hu1, hv1: one(img, c1, v1, hu1, hv1))(cs, vs, hus,
+                                                             hvs))(
+            rgb, cu, cv, hu, hv)  # (B, 4, c, c, 3)
     hm = pose_net.output_to_heatmaps(
         pose_net.forward(model, params,
                          imgs.reshape((B * 4,) + imgs.shape[2:])), loss)
@@ -708,7 +735,8 @@ def crane_part_keypoints(
     uv_c = uv_c[:, pidx, pidx]  # (B, 4, Kp, 2)
     sc = sc_all[:, pidx, pidx]
     uv = crop_ops.crop_to_uv(uv_c * stride, cu[..., None], cv[..., None],
-                             half[..., None], crop_size)
+                             hu[..., None], crop_size,
+                             half_v=hv[..., None])
     w = jnp.where((sc >= score_threshold) & kpt_valid
                   & part_vis[..., None], sc, 0.0)
     return uv, sc, w

@@ -63,6 +63,9 @@ class Pipeline:
     # Fused Pallas RGB epilogue (render/rgb_kernel.py) — replaces the jnp
     # normals/patterns/AO/shade/gamma tier on the standard render path.
     use_rgb_kernel: bool = False
+    # Fused Pallas pixel sweep (render/sweep_kernel.py) — replaces the jnp
+    # (g, N) category sweep for primary rays on the proxy path.
+    use_sweep_kernel: bool = False
     vmap_chunk: int = 4
     # RGB fidelity knobs (benchmarks/roofline.py stage isolation; production
     # keeps both True — the procedural-texture pass is the sim-to-real tier).
@@ -104,6 +107,12 @@ class Pipeline:
             self.cfg.camera.focal_length, self.cfg.camera.horizontal_aperture,
             pc.render_width, pc.render_height,
         )
+        self.pixel_sweeper = None
+        if self.use_sweep_kernel and not self.hifi_mesh:
+            from ..render import sweep_kernel
+            self.pixel_sweeper = sweep_kernel.make_pixel_sweeper(
+                self.roster, self.intr,
+                interpret=jax.default_backend() != "tpu")
         self.hm_w = pc.render_width // pc.heatmap_stride
         self.hm_h = pc.render_height // pc.heatmap_stride
         self.num_channels = assets.NUM_KEYPOINT_CHANNELS
@@ -156,6 +165,7 @@ class Pipeline:
             texture_factors=self.texture_factors,
             rgb_ablate=self.rgb_ablate,
             use_rgb_kernel=self.use_rgb_kernel,
+            pixel_sweeper=self.pixel_sweeper,
             bug_compatible=cfg.pipeline.bug_compatible_schema,
             far_clip=cfg.camera.clipping[1],
         )

@@ -32,6 +32,7 @@ import numpy as np
 from ..core import camera as cam_mod
 from ..core import transforms
 from ..scene import world as world_mod
+from . import raycast as _raycast_mod
 from . import rgb_kernel as rgb_kernel_mod
 from . import shading as sh
 
@@ -127,6 +128,7 @@ def render_frame(
     far_clip: float = 250.0,
     rgb_ablate: frozenset = frozenset(),
     use_rgb_kernel: bool = False,
+    pixel_sweeper=None,
 ) -> FrameAnnotations:
     """Annotate a single frame. vmap over (world, cam_pos, target) for batches.
 
@@ -168,6 +170,16 @@ def render_frame(
     if analytic_normals:
         hit_px = caster(world, origin, px_rays)
         hit_seg = caster(world, origin, seg_rays)
+    elif pixel_sweeper is not None:
+        # Fused Pallas pixel sweep (render/sweep_kernel.py): the whole
+        # prim x ray sweep in one kernel, rays generated in-kernel.
+        # Occlusion segments (~1k rays, arbitrary directions) keep the
+        # jnp caster.
+        t_px, code_px = _raycast_mod._unpack(pixel_sweeper(world, cam_pos, M))
+        hitp = t_px < _raycast_mod.INF * 0.99
+        hit_px = {"t": jnp.where(hitp, t_px, jnp.float32(jnp.inf)),
+                  "inst": code_px - 2}
+        hit_seg = caster.fast(world, origin, seg_rays)
     else:
         hit_px = caster.fast(world, origin, px_rays)
         hit_seg = caster.fast(world, origin, seg_rays)

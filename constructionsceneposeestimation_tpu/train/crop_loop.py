@@ -177,15 +177,21 @@ def crop_batch_crane_parts(seed: Array, batch, roster, crop_size: int,
         # stick, median half 8 px) otherwise yields a degenerate 16x-zoomed
         # crop with no joint context — measured tele-root decode at 39
         # crop-px error / 0.16 score before the clamp.
-        cu, cv, half = crop_ops.square_roi(part_box, min_half=24.0)
+        # rect_roi (round 4): ASPECT-MATCHED crops — the thin column /
+        # extended telescopic fill the crop instead of ~10% of a square
+        # (max_aspect 3 keeps joint context; evaluator must match —
+        # eval/pipeline.crane_part_keypoints).
+        cu, cv, hu, hv = crop_ops.rect_roi(part_box, min_half=24.0)
         if jitter:
-            cu, cv, half = crop_ops.jitter_roi(k_roi, cu, cv, half)
+            cu, cv, hu, hv = crop_ops.jitter_roi(k_roi, cu, cv, hu,
+                                                 half_v=hv)
         img = crop_ops.crop_resize(rgb.astype(jnp.float32) / 255.0,
-                                   cu, cv, half, crop_size)
+                                   cu, cv, hu, crop_size, half_v=hv)
         if augment:
             img = preprocess.photometric_augment(k_aug, img)
         img = preprocess.normalize(img)
-        uvc = crop_ops.uv_to_crop(kuv.reshape(C, 2), cu, cv, half, crop_size)
+        uvc = crop_ops.uv_to_crop(kuv.reshape(C, 2), cu, cv, hu, crop_size,
+                                  half_v=hv)
         in_crop = ((uvc[..., 0] >= 0) & (uvc[..., 0] < crop_size)
                    & (uvc[..., 1] >= 0) & (uvc[..., 1] < crop_size))
         vis = kvis.reshape(C) & kvalid.reshape(C) & in_crop
