@@ -34,7 +34,8 @@ def main() -> None:
                                          batch_size=BATCH))
     on_tpu = jax.default_backend() == "tpu"
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=on_tpu, use_rgb_kernel=on_tpu, vmap_chunk=8)
+        cfg, use_pallas_heatmaps=on_tpu, use_rgb_kernel=on_tpu,
+        use_sweep_kernel=on_tpu, vmap_chunk=8)
     gen = pipe.make_generate_fn(ladder=False)
 
     # Device-side loop with an un-elidable chain: each step's PRNG seed folds

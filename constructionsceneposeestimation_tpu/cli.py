@@ -38,6 +38,7 @@ def cmd_generate(args) -> None:
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
         use_rgb_kernel=jax.default_backend() == "tpu",
+        use_sweep_kernel=jax.default_backend() == "tpu",
         vmap_chunk=1 if getattr(args, "hifi", False) else 8,
         hifi_mesh=getattr(args, "hifi", False),
         image_textures=getattr(args, "image_textures", False))
@@ -121,7 +122,8 @@ def _run_training(args):
     model = pose_net.make_model(lite=args.lite)
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
-        use_rgb_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
+        use_rgb_kernel=jax.default_backend() == "tpu",
+        use_sweep_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
     state = train_loop.create_train_state(cfg, model, jax.random.PRNGKey(args.seed))
     mgr = None
     if getattr(args, "ckpt_dir", None):
@@ -347,7 +349,8 @@ def cmd_train_crop(args) -> None:
     )
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
-        use_rgb_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
+        use_rgb_kernel=jax.default_backend() == "tpu",
+        use_sweep_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
     model = crop_loop.make_crop_model(args.cls, lite=args.lite,
                                       roster=pipe.roster,
                                       output_stride=getattr(args, "stride", 4))
@@ -431,7 +434,8 @@ def cmd_train_detect(args) -> None:
     )
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
-        use_rgb_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
+        use_rgb_kernel=jax.default_backend() == "tpu",
+        use_sweep_kernel=jax.default_backend() == "tpu", vmap_chunk=8)
     model = detect_loop.make_detect_model(
         lite=args.lite, output_stride=getattr(args, "det_stride", 4))
     from .train import loop as train_loop
@@ -468,6 +472,7 @@ def cmd_train_detect(args) -> None:
             hifi_pipe = pipeline_mod.Pipeline(
                 cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
                 use_rgb_kernel=jax.default_backend() == "tpu",
+                use_sweep_kernel=jax.default_backend() == "tpu",
                 vmap_chunk=1, hifi_mesh=True,
                 image_textures=getattr(args, "image_textures", False))
         run = jax.jit(detect_loop.make_scanned_detect_train_fn(
@@ -496,6 +501,7 @@ def cmd_train_detect(args) -> None:
         eval_pipe = pipeline_mod.Pipeline(
             cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
             use_rgb_kernel=jax.default_backend() == "tpu",
+            use_sweep_kernel=jax.default_backend() == "tpu",
             vmap_chunk=1, hifi_mesh=True,
             image_textures=getattr(args, "image_textures", False))
         print("eval frames: hifi CAD-mesh renders (proxy-trained models)")
@@ -608,6 +614,7 @@ def cmd_infer(args) -> None:
     pipe = pipeline_mod.Pipeline(
         cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
         use_rgb_kernel=jax.default_backend() == "tpu",
+        use_sweep_kernel=jax.default_backend() == "tpu",
         vmap_chunk=1 if getattr(args, "hifi", False) else 8,
         hifi_mesh=getattr(args, "hifi", False),
         image_textures=getattr(args, "image_textures", False))
