@@ -793,7 +793,11 @@ def cmd_seq_eval(args) -> None:
                                        fps=args.fps)
     print(f"sequence eval ({int(out['n_clips'])} clips x "
           f"{args.sequence_len} frames, {int(out['n_frames'])} frames):")
-    print(f"  id stability:       {out['id_stability']:.3f} "
+    import math
+    disp = ("" if math.isnan(out.get("id_stability_std", float("nan")))
+            else f" +- {out['id_stability_std']:.3f} across clips "
+                 f"(worst clip {out['id_stability_min_clip']:.3f})")
+    print(f"  id stability:       {out['id_stability']:.3f}{disp} "
           f"(adjacent-frame detection matches)")
     print(f"  pose track rate:    {out['pose_track_rate']:.3f} "
           f"(accepted poses matched to the next frame)")

@@ -46,11 +46,30 @@ def main():
     world = wm.build_world(roster, pose)
     intr = cam_mod.intrinsics_from_apertures(12.0, 25.0, args.res, args.res)
 
-    # viewpoints: wide site view, cone close-up, fence-on view, tree view
+    # Articulate the worker (bent elbows/knees) so the skinned-mesh worker
+    # view shows smooth joints vs the rigid capsule seams.
+    from constructionsceneposeestimation_tpu.scene import (assets,
+                                                           kinematics)
+    n_h = roster.human_slice[1] - roster.human_slice[0]
+    if n_h:
+        ang = jnp.asarray([25.0, 50.0, 75.0, -20.0, 35.0, 45.0,
+                           18.0, 45.0, -12.0, 30.0], jnp.float32)
+        joints = jax.vmap(lambda a: kinematics.pose_human_joints(
+            jnp.asarray(assets.CANONICAL_COCO), a))(
+                jnp.broadcast_to(ang, (n_h, 10)))
+        pose = wm.ScenePose(pose.crane_pos, pose.crane_yaw_deg,
+                            pose.crane_joints, pose.positions, pose.yaw_deg,
+                            human_joints=joints)
+        world = wm.build_world(roster, pose)
+
+    # viewpoints: wide site view, cone close-up, fence-on view, tree view,
+    # articulated-worker close-up (skinned LBS mesh under --hifi)
     c0 = roster.cone_slice[0]
     t0 = roster.tree_slice[0]
+    h0 = roster.human_slice[0]
     cone = np.asarray(world["inst_pos"])[c0]
     tree = np.asarray(world["inst_pos"])[t0]
+    human = np.asarray(world["inst_pos"])[h0] if n_h else np.zeros(3)
     views = [
         (np.float32([14.0, 8.0, 4.0]), np.float32([0.0, 0.0, 1.0])),
         ((cone + [2.0, 1.2, 0.9]).astype(np.float32),
@@ -58,6 +77,8 @@ def main():
         (np.float32([0.0, -14.5, 2.0]), np.float32([0.0, -10.7, 1.0])),
         ((tree + [9.0, 3.0, 3.0]).astype(np.float32),
          (tree + [0, 0, 3.5]).astype(np.float32)),
+        ((human + [2.2, 0.7, 1.3]).astype(np.float32),
+         (human + [0, 0, 0.95]).astype(np.float32)),
     ][: max(args.frames, 1)]
 
     os.makedirs(args.out, exist_ok=True)
