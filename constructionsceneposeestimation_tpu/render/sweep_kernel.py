@@ -1,5 +1,10 @@
 """The analytic pixel sweep as ONE Pallas TPU kernel.
 
+This is the hot half of the framework's replacement for the reference's
+Isaac RTX render + annotator reads (generate_construction_data.py:
+1668-1711 — camera.get_rgba / distance_to_image_plane per frame, ~0.15
+fps); render/raycast.py documents the analytic-primitive design.
+
 The jnp sweep (render/raycast.py) runs each transform category as (g, N)
 plane arithmetic with g = 6..20 primitives on the SUBLANE axis — g pads to
 the 8-sublane granule, categories compile to separate fusions, and the
@@ -129,16 +134,27 @@ def make_pixel_sweeper(roster: world_mod.Roster, intr: cam_mod.Intrinsics,
                 rinv[ax] = 1.0 / jnp.where(jnp.abs(da) < _EPS, _EPS, da)
             return rinv[ax]
 
-        best = jnp.full((hb, W), np.float32(_INF))
+        # Hoist every per-prim SMEM scalar read ahead of the vector work so
+        # the scalar core runs ahead of the VPU instead of interleaving.
+        prim_s = [[prim_ref[p, k] for k in range(12)] for p in range(P)]
 
-        def merge(best, t, ok, code):
+        # Four interleaved min accumulators break the otherwise-serial
+        # 76-deep packed-min dependency chain (merged pairwise at the end).
+        bests = [jnp.full((hb, W), np.float32(_INF)) for _ in range(4)]
+        slot = [0]
+
+        def merge(_unused, t, ok, code):
             t = jnp.where(ok & (t > _EPS), t, np.float32(_INF))
-            return jnp.minimum(best, _pack_static(t, code))
+            s = slot[0] % 4
+            slot[0] += 1
+            bests[s] = jnp.minimum(bests[s], _pack_static(t, code))
+            return _unused
+
+        best = None  # merged after the loop
 
         for cat, p, kind, prm, code in sched:
-            px = prim_ref[p, 0]
-            py = prim_ref[p, 1]
-            pz = prim_ref[p, 2]
+            ps = prim_s[p]
+            px, py, pz = ps[0], ps[1], ps[2]
             ox = camx - px
             oy = camy - py
             oz = camz - pz
@@ -228,8 +244,8 @@ def make_pixel_sweeper(roster: world_mod.Roster, intr: cam_mod.Intrinsics,
             elif cat == "yaw":
                 # Identity-local box on a yaw-only instance: rotate into the
                 # 2D local frame; z is world z.
-                cth = prim_ref[p, 3]   # rot[0, 0]
-                sth = prim_ref[p, 6]   # rot[1, 0]
+                cth = ps[3]   # rot[0, 0]
+                sth = ps[6]   # rot[1, 0]
                 olx = cth * ox + sth * oy
                 oly = -sth * ox + cth * oy
                 dlx = cth * dx + sth * dy
@@ -253,9 +269,9 @@ def make_pixel_sweeper(roster: world_mod.Roster, intr: cam_mod.Intrinsics,
                 # Posed capsule: axial/radial decomposition about the world
                 # axis (raycast._sweep_packed_fast's axis category).
                 r, hh = prm[0], prm[1]
-                ax0 = prim_ref[p, 5]   # rot[:, 2] column = capsule axis
-                ax1 = prim_ref[p, 8]
-                ax2 = prim_ref[p, 11]
+                ax0 = ps[5]   # rot[:, 2] column = capsule axis
+                ax1 = ps[8]
+                ax2 = ps[11]
                 oz_ax = ox * ax0 + oy * ax1 + oz * ax2  # scalar
                 oo = ox * ox + oy * oy + oz * oz        # scalar
                 dz_ax = ax0 * dx + ax1 * dy + ax2 * dz  # plane
@@ -277,10 +293,9 @@ def make_pixel_sweeper(roster: world_mod.Roster, intr: cam_mod.Intrinsics,
                     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                     best = merge(best, -bs - sq, disc > 0, code)
             else:  # gen: full local rotation
-                r00, r01, r02 = prim_ref[p, 3], prim_ref[p, 4], prim_ref[p, 5]
-                r10, r11, r12 = prim_ref[p, 6], prim_ref[p, 7], prim_ref[p, 8]
-                r20, r21, r22 = (prim_ref[p, 9], prim_ref[p, 10],
-                                 prim_ref[p, 11])
+                r00, r01, r02 = ps[3], ps[4], ps[5]
+                r10, r11, r12 = ps[6], ps[7], ps[8]
+                r20, r21, r22 = ps[9], ps[10], ps[11]
                 # local = R^T * world
                 ol = (r00 * ox + r10 * oy + r20 * oz,
                       r01 * ox + r11 * oy + r21 * oz,
@@ -329,7 +344,8 @@ def make_pixel_sweeper(roster: world_mod.Roster, intr: cam_mod.Intrinsics,
                         & (enter <= exit_) & (exit_ > 0)
                     best = merge(best, enter, ok, code)
 
-        out_ref[:] = best
+        out_ref[:] = jnp.minimum(jnp.minimum(bests[0], bests[1]),
+                                 jnp.minimum(bests[2], bests[3]))
 
     P = len(prim_inst)
 
