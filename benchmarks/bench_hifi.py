@@ -39,8 +39,10 @@ def measure(hifi: bool, batch: int, vmap_chunk: int = 8) -> float:
     # (render/meshcast.py header), which erodes most of the cull.
     cfg = Config(pipeline=PipelineConfig(render_width=512, render_height=512,
                                          batch_size=batch))
+    on_tpu = jax.default_backend() == "tpu"
     pipe = pipeline_mod.Pipeline(
-        cfg, use_pallas_heatmaps=jax.default_backend() == "tpu",
+        cfg, use_pallas_heatmaps=on_tpu, use_rgb_kernel=on_tpu,
+        use_sweep_kernel=on_tpu,
         vmap_chunk=1 if hifi else vmap_chunk, hifi_mesh=hifi)
     gen = pipe.make_generate_fn(ladder=False)
 

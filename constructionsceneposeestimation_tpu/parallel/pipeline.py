@@ -113,6 +113,27 @@ class Pipeline:
             self.pixel_sweeper = sweep_kernel.make_pixel_sweeper(
                 self.roster, self.intr,
                 interpret=jax.default_backend() != "tpu")
+        elif self.use_sweep_kernel and hasattr(self.caster, "mesh"):
+            # Hifi composite: the Pallas sweeper covers the masked analytic
+            # base (proxies the meshes replace are excluded), merged with
+            # the tile-culled triangle sweep by packed min — exactly
+            # make_hifi_caster.fast's merge, with the base on the kernel.
+            from ..render import sweep_kernel
+            mesh = self.caster.mesh
+            base_sweep = sweep_kernel.make_pixel_sweeper(
+                self.roster, self.intr, prim_mask=~mesh.covered_prims,
+                interpret=jax.default_backend() != "tpu")
+            if base_sweep is not None:
+                intr = self.intr
+
+                def hifi_sweeper(world, cam_pos, M, _mesh=mesh,
+                                 _base=base_sweep, _intr=intr):
+                    packed_a = _base(world, cam_pos, M)
+                    _, dirs = cam_mod.pixel_rays(_intr, cam_pos, M)
+                    packed_m = _mesh(world, cam_pos, dirs.reshape(-1, 3))
+                    return jnp.minimum(packed_a, packed_m)
+
+                self.pixel_sweeper = hifi_sweeper
         self.hm_w = pc.render_width // pc.heatmap_stride
         self.hm_h = pc.render_height // pc.heatmap_stride
         self.num_channels = assets.NUM_KEYPOINT_CHANNELS
