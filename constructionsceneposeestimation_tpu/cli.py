@@ -403,6 +403,12 @@ def cmd_train_crop(args) -> None:
               f"ADD-0.1d {float(out['add_0_1d']):.3f} [{parts}] "
               f"(accepted {int(out['n_accepted'])}/{int(out['n_valid'])}, "
               f"detectable {int(out['n_detectable'])}/{args.eval_frames})")
+        errs = " ".join(
+            f"{p.replace('crane', '')}={float(out[f't_err_{p}']):.2f}m/"
+            f"{float(out[f'rot_err_deg_{p}']):.1f}deg"
+            for p in ("cranebase", "cranecolumn", "craneboom",
+                      "cranetelescopic"))
+        print(f"  per-part err split (t/rot): [{errs}]")
     else:
         out = eval_pipeline.evaluate_crop_6dof(
             batch, pipe.roster, pipe.intr, model, state.params, args.cls,

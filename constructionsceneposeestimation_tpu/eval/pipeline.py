@@ -837,6 +837,17 @@ def evaluate_crop_crane_6dof(
         out[f"add_mean_{name}"] = (jnp.sum(jnp.where(gate, add, 0.0))
                                    / jnp.maximum(jnp.sum(gate), 1))
         out[f"add_0_1d_{name}"] = metrics.add_accuracy(add, dia, gate)
+        # Error split (round-4 diagnosis): is a part's ADD loss translation
+        # or rotation? Column/telescopic 0.1d gates are tight (~0.17/0.2 m),
+        # so a ~0.2 m root (x, y) error alone fails them.
+        R_gt, t_gt = gt_camera_frame_pose(roster, batch, o)
+        t_err = jnp.linalg.norm(res.t[:, pi] - t_gt, axis=-1)
+        out[f"t_err_{name}"] = (jnp.sum(jnp.where(gate, t_err, 0.0))
+                                / jnp.maximum(jnp.sum(gate), 1))
+        tr = jnp.einsum("bij,bij->b", res.R[:, pi], R_gt)  # trace(Re Rg^T)
+        ang = jnp.degrees(jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+        out[f"rot_err_deg_{name}"] = (jnp.sum(jnp.where(gate, ang, 0.0))
+                                      / jnp.maximum(jnp.sum(gate), 1))
         adds.append(out[f"add_mean_{name}"])
         add01s.append(out[f"add_0_1d_{name}"])
     out["add_mean"] = jnp.mean(jnp.stack(adds))
