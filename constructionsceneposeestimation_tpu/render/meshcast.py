@@ -137,7 +137,7 @@ def make_mesh_caster(roster: world_mod.Roster,
                      classes: Sequence[str] = DEFAULT_CLASSES,
                      tri_block: int = 512, tile: int = 1024,
                      grid_hw: Tuple[int, int] | None = None,
-                     chunk: int | None = None):
+                     chunk: int | None = None, tile_group: int = 8):
     """Culled triangle sweep over every roster instance of ``classes`` that
     has a baked template. Returns None when nothing is meshable, else a
     callable ``packed(world, ray_o (3,), ray_d (N, 3)) -> packed f32 (N,)``
@@ -151,6 +151,14 @@ def make_mesh_caster(roster: world_mod.Roster,
     full-image ray set, groups are square image tiles (spatially coherent ->
     tight AABB culls), otherwise contiguous ranges. ``chunk`` is accepted for
     signature compatibility and ignored (the tile IS the ray chunk).
+
+    ``tile_group``: tiles batched through one vmapped cull loop. With one
+    while_loop per tile (round 3), a frame ran ~2k serial loop iterations
+    whose bodies were ~us-scale — per-iteration overhead dominated (52 f/s).
+    vmapping groups of adjacent tiles makes each iteration a (G x rays x
+    tri_block) fused elementwise+reduce block; the trip count is the max
+    visit count within the group (adjacent tiles see similar instance sets,
+    so max ~ avg and the cull survives).
     """
     del chunk
     templates = load_templates() if templates is None else templates
@@ -273,9 +281,17 @@ def make_mesh_caster(roster: world_mod.Roster,
                 tnb = jax.lax.dynamic_index_in_dim(tn, b, 0, keepdims=False)
                 cdb = jax.lax.dynamic_index_in_dim(codes_blocks, b, 0,
                                                    keepdims=False)
-                det = _einsum("nj,tj->nt", rd, crb)
-                unum = _einsum("nj,tj->nt", rd, aub)
-                vnum = _einsum("nj,tj->nt", rd, qvb)
+                # K=3 dots as broadcast mul-adds, NOT matmuls: a (N, 3) @
+                # (3, T) contraction uses 3/128 of the MXU's contraction dim
+                # and materializes the (N, T) product in HBM; the elementwise
+                # form fuses into the pack/min reduction below (no (N, T)
+                # intermediate ever hits memory).
+                dot = lambda a, b: (a[:, 0:1] * b[None, :, 0]
+                                    + a[:, 1:2] * b[None, :, 1]
+                                    + a[:, 2:3] * b[None, :, 2])
+                det = dot(rd, crb)
+                unum = dot(rd, aub)
+                vnum = dot(rd, qvb)
                 inv = jnp.where(jnp.abs(det) < raycast.EPS, 0.0, 1.0 / det)
                 t = tnb[None, :] * inv
                 u = unum * inv
@@ -290,17 +306,31 @@ def make_mesh_caster(roster: world_mod.Roster,
             _, best = jax.lax.while_loop(lambda c: c[0] < count, body, init)
             return best
 
+        def run_tiles(rt):
+            # Batch tile_fn over groups of adjacent tiles: one vmapped
+            # while_loop per group (trip count = max visits in the group)
+            # instead of one tiny serial loop per tile.
+            m = rt.shape[0]
+            g = max(1, min(tile_group, m))
+            while m % g:
+                g -= 1
+            if g == 1:
+                return jax.lax.map(tile_fn, rt)
+            out = jax.lax.map(jax.vmap(tile_fn),
+                              rt.reshape(m // g, g, rt.shape[1], 3))
+            return out.reshape(m, rt.shape[1])
+
         n = ray_d.shape[0]
         if (grid_hw is not None and n == grid_hw[0] * grid_hw[1]
                 and grid_hw[0] % th == 0 and grid_hw[1] % tw == 0):
             H, W = grid_hw
             rt = (ray_d.reshape(H // th, th, W // tw, tw, 3)
                   .transpose(0, 2, 1, 3, 4).reshape(-1, th * tw, 3))
-            out = jax.lax.map(tile_fn, rt)
+            out = run_tiles(rt)
             return (out.reshape(H // th, W // tw, th, tw)
                     .transpose(0, 2, 1, 3).reshape(n))
         if n > tile and n % tile == 0:
-            out = jax.lax.map(tile_fn, ray_d.reshape(n // tile, tile, 3))
+            out = run_tiles(ray_d.reshape(n // tile, tile, 3))
             return out.reshape(n)
         return tile_fn(ray_d)
 
