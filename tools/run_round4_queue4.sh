@@ -1,0 +1,91 @@
+#!/bin/bash
+# Round-4 queue 4 (runs after queue 3): seq-eval at >=20 clips (VERDICT
+# weak 7) and the crane crop-resolution experiment.
+#
+# Rationale for the crop-192 run: the per-part t/rot error split on the
+# 512/crop-128 crane model shows rotation-dominated misses (column
+# 0.15 m / 10.3 deg, boom 0.25 m / 11.6 deg vs base 1.1 deg). Rotation
+# comes from PnP over crop-net keypoints, and the crop net resamples the
+# whole part ROI to --crop pixels (heatmaps at crop/stride) — crop
+# resolution, not render resolution, bounds angular precision. 192 px
+# crops -> 96^2 heatmaps = 1.5x finer keypoints for the same render.
+set -x
+cd /root/repo
+R=artifacts/logs
+
+# 0. Eval-only reruns of the finished 16k detector (restores step 16000):
+#    the queue-3 run crashed in the crane two-stage restore (missing
+#    --crane-stride 2, ck_crane is a stride-2 net), and with --hifi-eval
+#    the whole eval had run on hifi frames — the standard proxy rows never
+#    printed. (a) proxy rows, (b) hifi transfer rows.
+timeout 3600 python -m constructionsceneposeestimation_tpu.cli train-detect \
+  --steps 16000 --det-stride 2 --n-dumpers 2 --n-humans 3 --hifi-mix 4 \
+  --ckpt-dir /root/repo/artifacts/ck_det \
+  --crop-ckpt /root/repo/artifacts/ck_crop \
+  --crane-crop-ckpt /root/repo/artifacts/ck_crane --crane-stride 2 \
+  --det-analysis \
+  > $R/detect_eval_proxy.log 2>&1
+timeout 3600 python -m constructionsceneposeestimation_tpu.cli train-detect \
+  --steps 16000 --det-stride 2 --n-dumpers 2 --n-humans 3 --hifi-mix 4 \
+  --ckpt-dir /root/repo/artifacts/ck_det \
+  --crop-ckpt /root/repo/artifacts/ck_crop \
+  --crane-crop-ckpt /root/repo/artifacts/ck_crane --crane-stride 2 \
+  --det-analysis --hifi-eval \
+  > $R/detect_eval_hifi.log 2>&1
+
+# 1. Temporal metrics at 20 clips x 30 frames with the fresh detector
+#    (round-3 row was 4 clips quoted to 3 digits; dispersion now reported).
+timeout 3600 python -m constructionsceneposeestimation_tpu.cli infer \
+  --det-ckpt /root/repo/artifacts/ck_det \
+  --crop-ckpt /root/repo/artifacts/ck_crop \
+  --crane-crop-ckpt /root/repo/artifacts/ck_crane --crane-stride 2 \
+  --sequence-len 30 --frames 600 --track \
+  --out /root/repo/artifacts/clips_r4.jsonl \
+  > $R/infer_clips_r4.log 2>&1
+timeout 1800 python -m constructionsceneposeestimation_tpu.cli seq-eval \
+  --poses /root/repo/artifacts/clips_r4.jsonl --sequence-len 30 \
+  > $R/seqeval_r4.log 2>&1
+
+# 1b. Ladder-eval rows from the finished 32k stage-1 ckpt (eval-only:
+#     restores step 32000, skips training) — re-measures the stale
+#     soft-argmax ladder row post background-fix (ROADMAP item 3).
+timeout 3600 python -m constructionsceneposeestimation_tpu.cli train-eval \
+  --steps 32000 --size 512 --camera-mix 0.3 --eval-ladder \
+  --ckpt-dir /root/repo/artifacts/ck_stage1 \
+  > $R/stage1_ladder.log 2>&1
+
+# 2. Detector 768^2 finetune (VERDICT ask 4): the oracle-IoU split on the
+#    fresh 16k/512 detector says human misses are 38% localization / ~0
+#    classification (humans at range are ~5x20 px at 512 -> IoU-0.5 is
+#    scale-limited). The backbone is a pure conv FCN, so the 512-trained
+#    params restore as-is and finetune 4k steps at 768.
+cp -r /root/repo/artifacts/ck_det /root/repo/artifacts/ck_det768
+timeout 10800 python -m constructionsceneposeestimation_tpu.cli train-detect \
+  --steps 20000 --size 768 --det-stride 2 --n-dumpers 2 --n-humans 3 \
+  --hifi-mix 4 --save-every 1000 \
+  --ckpt-dir /root/repo/artifacts/ck_det768 \
+  --crop-ckpt /root/repo/artifacts/ck_crop \
+  --crane-crop-ckpt /root/repo/artifacts/ck_crane --crane-stride 2 \
+  --det-analysis \
+  > $R/detect768.log 2>&1
+
+# 3. Crane per-part crop stage at --crop 192 (render stays 512).
+timeout 10800 python -m constructionsceneposeestimation_tpu.cli train-crop \
+  --cls crane --per-part --stride 2 --steps 20000 --crop 192 \
+  --save-every 4000 \
+  --ckpt-dir /root/repo/artifacts/ck_crane_c192 \
+  > $R/crop_crane_c192.log 2>&1
+
+# 4. Detector --hifi-mix 2 finetune row (VERDICT ask 8 done-criterion):
+#    4k extra steps at the densified mix, transfer row via --hifi-eval.
+cp -r /root/repo/artifacts/ck_det /root/repo/artifacts/ck_det_mix2
+timeout 7200 python -m constructionsceneposeestimation_tpu.cli train-detect \
+  --steps 20000 --det-stride 2 --n-dumpers 2 --n-humans 3 \
+  --hifi-mix 2 --save-every 1000 \
+  --ckpt-dir /root/repo/artifacts/ck_det_mix2 \
+  --crop-ckpt /root/repo/artifacts/ck_crop \
+  --crane-crop-ckpt /root/repo/artifacts/ck_crane --crane-stride 2 \
+  --hifi-eval \
+  > $R/detect_mix2.log 2>&1
+
+echo QUEUE4_DONE
