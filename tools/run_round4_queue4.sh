@@ -13,26 +13,6 @@ set -x
 cd /root/repo
 R=artifacts/logs
 
-# 0. Eval-only reruns of the finished 16k detector (restores step 16000):
-#    the queue-3 run crashed in the crane two-stage restore (missing
-#    --crane-stride 2, ck_crane is a stride-2 net), and with --hifi-eval
-#    the whole eval had run on hifi frames — the standard proxy rows never
-#    printed. (a) proxy rows, (b) hifi transfer rows.
-timeout 3600 python -m constructionsceneposeestimation_tpu.cli train-detect \
-  --steps 16000 --det-stride 2 --n-dumpers 2 --n-humans 3 --hifi-mix 4 \
-  --ckpt-dir /root/repo/artifacts/ck_det \
-  --crop-ckpt /root/repo/artifacts/ck_crop \
-  --crane-crop-ckpt /root/repo/artifacts/ck_crane --crane-stride 2 \
-  --det-analysis \
-  > $R/detect_eval_proxy.log 2>&1
-timeout 3600 python -m constructionsceneposeestimation_tpu.cli train-detect \
-  --steps 16000 --det-stride 2 --n-dumpers 2 --n-humans 3 --hifi-mix 4 \
-  --ckpt-dir /root/repo/artifacts/ck_det \
-  --crop-ckpt /root/repo/artifacts/ck_crop \
-  --crane-crop-ckpt /root/repo/artifacts/ck_crane --crane-stride 2 \
-  --det-analysis --hifi-eval \
-  > $R/detect_eval_hifi.log 2>&1
-
 # 1. Temporal metrics at 20 clips x 30 frames with the fresh detector
 #    (round-3 row was 4 clips quoted to 3 digits; dispersion now reported).
 timeout 3600 python -m constructionsceneposeestimation_tpu.cli infer \
