@@ -71,13 +71,17 @@ def _pack_static(t, code: int):
 
 def make_pixel_sweeper(roster: world_mod.Roster, intr: cam_mod.Intrinsics,
                        prim_mask: np.ndarray | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False, hb: int | None = None,
+                       n_acc: int = 4):
     """Build ``sweep(world, cam_pos, M) -> packed (H*W,) f32`` for the fixed
     roster + intrinsics, or None when the image shape is unsupported."""
     H, W = intr.height, intr.width
     if H % 8 != 0 or W < 8:
         return None
-    hb = next((b for b in (64, 32, 16, 8) if H % b == 0))
+    if hb is None:
+        hb = next((b for b in (64, 32, 16, 8) if H % b == 0))
+    if H % hb != 0:
+        hb = next((b for b in (64, 32, 16, 8) if H % b == 0))
 
     cats = raycast._transform_categories(roster)
     if prim_mask is not None:
@@ -140,12 +144,12 @@ def make_pixel_sweeper(roster: world_mod.Roster, intr: cam_mod.Intrinsics,
 
         # Four interleaved min accumulators break the otherwise-serial
         # 76-deep packed-min dependency chain (merged pairwise at the end).
-        bests = [jnp.full((hb, W), np.float32(_INF)) for _ in range(4)]
+        bests = [jnp.full((hb, W), np.float32(_INF)) for _ in range(n_acc)]
         slot = [0]
 
         def merge(_unused, t, ok, code):
             t = jnp.where(ok & (t > _EPS), t, np.float32(_INF))
-            s = slot[0] % 4
+            s = slot[0] % n_acc
             slot[0] += 1
             bests[s] = jnp.minimum(bests[s], _pack_static(t, code))
             return _unused
@@ -344,8 +348,11 @@ def make_pixel_sweeper(roster: world_mod.Roster, intr: cam_mod.Intrinsics,
                         & (enter <= exit_) & (exit_ > 0)
                     best = merge(best, enter, ok, code)
 
-        out_ref[:] = jnp.minimum(jnp.minimum(bests[0], bests[1]),
-                                 jnp.minimum(bests[2], bests[3]))
+        acc = bests
+        while len(acc) > 1:  # pairwise tree merge
+            acc = [jnp.minimum(a, b) for a, b in zip(acc[::2], acc[1::2])] \
+                + ([acc[-1]] if len(acc) % 2 else [])
+        out_ref[:] = acc[0]
 
     P = len(prim_inst)
 
