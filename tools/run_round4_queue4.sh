@@ -13,6 +13,14 @@ set -x
 cd /root/repo
 R=artifacts/logs
 
+# 0. Resume the wedged stage-1 run (the axon tunnel dropped its in-flight
+#    call at step 25350 while a hifi eval compiled; latest ckpt 24000).
+#    Restores and trains the remaining 8k + DR eval.
+timeout 7200 python -m constructionsceneposeestimation_tpu.cli train-eval \
+  --steps 32000 --size 512 --camera-mix 0.3 --save-every 4000 \
+  --ckpt-dir /root/repo/artifacts/ck_stage1 \
+  >> $R/stage1.log 2>&1
+
 # 1. Temporal metrics at 20 clips x 30 frames with the fresh detector
 #    (round-3 row was 4 clips quoted to 3 digits; dispersion now reported).
 timeout 3600 python -m constructionsceneposeestimation_tpu.cli infer \
