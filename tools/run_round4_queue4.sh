@@ -34,6 +34,10 @@ timeout 1800 python -m constructionsceneposeestimation_tpu.cli seq-eval \
   --poses /root/repo/artifacts/clips_r4.jsonl --sequence-len 30 \
   > $R/seqeval_r4.log 2>&1
 
+# 1a2. Clean-chip hifi throughput (ask 8 number): every probe so far ran
+#      chip-shared with a training; this one owns the chip.
+timeout 2400 python benchmarks/bench_hifi.py > $R/bench_hifi_r4.log 2>&1
+
 # 1b. Ladder-eval rows from the finished 32k stage-1 ckpt (eval-only:
 #     restores step 32000, skips training) — re-measures the stale
 #     soft-argmax ladder row post background-fix (ROADMAP item 3).
