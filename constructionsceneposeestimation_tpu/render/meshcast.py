@@ -112,6 +112,23 @@ def load_templates(path: str | None = None
     return out
 
 
+def _morton_sort_faces(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Reorder faces along a 3D Morton curve of their centroids so that each
+    ``tri_block`` slice is spatially compact -> tight per-block AABBs for the
+    tile cull. Pure permutation: the packed-min sweep is order-independent."""
+    if len(faces) == 0:
+        return faces
+    c = verts[faces].mean(1)
+    lo, hi = c.min(0), c.max(0)
+    q = np.clip((c - lo) / np.maximum(hi - lo, 1e-9) * 1023.0,
+                0, 1023).astype(np.uint64)
+    key = np.zeros(len(faces), np.uint64)
+    for b in range(10):
+        for a in range(3):
+            key |= ((q[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(3 * b + a)
+    return faces[np.argsort(key, kind="stable")]
+
+
 def _aabb_hit_any(ray_o: Array, ray_d: Array, lo: Array, hi: Array) -> Array:
     """Conservative slab test: does ANY ray o + t*d (t > 0) hit instance i's
     world AABB?  ray_d (N, 3), lo/hi (I, 3) -> (I,) bool."""
@@ -161,6 +178,10 @@ def make_mesh_caster(roster: world_mod.Roster,
     so max ~ avg and the cull survives).
     """
     del chunk
+    # Sweepable without plumbing: the hifi bench tunes these on-chip.
+    tri_block = int(os.environ.get("CSPE_HIFI_TRI_BLOCK", tri_block))
+    tile = int(os.environ.get("CSPE_HIFI_TILE", tile))
+    tile_group = int(os.environ.get("CSPE_HIFI_TILE_GROUP", tile_group))
     templates = load_templates() if templates is None else templates
     groups = []  # (verts, faces_padded, ids, n_blocks_per_inst, lo, hi, skin)
     n_tri_true = 0
@@ -190,6 +211,7 @@ def make_mesh_caster(roster: world_mod.Roster,
             v, f = templates[cls]
             skin_jnp = None
             lo, hi = v.min(0), v.max(0)
+        f = _morton_sort_faces(np.asarray(v), f)
         n_tri_true += len(f) * len(ids)
         nb = -(-len(f) // tri_block)
         pad = nb * tri_block - len(f)
@@ -204,20 +226,14 @@ def make_mesh_caster(roster: world_mod.Roster,
     meshed_insts = np.concatenate([g[2] for g in groups])
     covered |= np.isin(np.asarray(roster.prim_inst), meshed_insts)
 
-    # Per-block owner (index into the MESHED instance list) + packed code.
-    block_owner, codes, tpl_lo, tpl_hi = [], [], [], []
-    for _, fp, ids, nb, lo, hi, _skin in groups:
+    # Per-block packed code (one owning instance per block).
+    codes = []
+    for _, fp, ids, nb, _, _, _skin in groups:
         for inst in ids:
-            block_owner += [len(tpl_lo)] * nb
             codes.append(np.full(nb * tri_block, inst + 2, np.int32))
-            tpl_lo.append(lo)
-            tpl_hi.append(hi)
-    n_blocks = len(block_owner)
-    block_owner_arr = jnp.asarray(np.asarray(block_owner, np.int32))
-    codes_blocks = jnp.asarray(np.concatenate(codes).reshape(n_blocks, tri_block))
-    meshed_ids = jnp.asarray(np.concatenate([g[2] for g in groups]).astype(np.int32))
-    ctr_l = jnp.asarray((np.stack(tpl_lo) + np.stack(tpl_hi)) * 0.5)  # (I, 3)
-    half_l = jnp.asarray((np.stack(tpl_hi) - np.stack(tpl_lo)) * 0.5)
+    codes_all = np.concatenate(codes)
+    n_blocks = len(codes_all) // tri_block
+    codes_blocks = jnp.asarray(codes_all.reshape(n_blocks, tri_block))
 
     th = tw = int(math.isqrt(tile))
 
@@ -259,16 +275,18 @@ def make_mesh_caster(roster: world_mod.Roster,
         qv = jnp.cross(s, e1)    # v_num = d . qv
         tn = jnp.sum(e2 * qv, axis=-1)  # (n_blocks, tri_block)
 
-        # World AABB per meshed instance (conservative: |R| @ half-extents).
-        R = world["inst_rot"][meshed_ids]            # (I, 3, 3)
-        p = world["inst_pos"][meshed_ids]            # (I, 3)
-        cw = _einsum("ikj,ij->ik", R, ctr_l) + p     # (I, 3)
-        hw = _einsum("ikj,ij->ik", jnp.abs(R), half_l)
-        box_lo, box_hi = cw - hw, cw + hw
+        # Exact world AABB per triangle BLOCK, reduced from the corners the
+        # sweep already materializes (so the cull costs no extra transforms).
+        # Morton-sorted faces make each block spatially compact, so these
+        # boxes are far tighter than the per-instance |R| @ half-extent boxes
+        # they replace: a 32x32 tile clipping one branch of a tree visits 1-2
+        # of its 5 blocks instead of all. Exact posed-vertex bounds also
+        # cover the skinned worker for free (no conservative bone inflation).
+        blk_lo = jnp.minimum(jnp.minimum(c0, c1), c2).min(axis=1)  # (nb, 3)
+        blk_hi = jnp.maximum(jnp.maximum(c0, c1), c2).max(axis=1)
 
         def tile_fn(rd):
-            rel = _aabb_hit_any(ray_o, rd, box_lo, box_hi)   # (I,)
-            rel_blk = rel[block_owner_arr]                   # (n_blocks,)
+            rel_blk = _aabb_hit_any(ray_o, rd, blk_lo, blk_hi)  # (n_blocks,)
             order = jnp.argsort(~rel_blk, stable=True).astype(jnp.int32)
             count = jnp.sum(rel_blk.astype(jnp.int32))
 
