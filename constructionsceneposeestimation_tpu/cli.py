@@ -567,18 +567,19 @@ def cmd_train_detect(args) -> None:
 
     if getattr(args, "crane_crop_ckpt", None):
         from .train import checkpoint, crop_loop
+        crane_crop = getattr(args, "crane_crop", None) or args.crop
         crane_model = crop_loop.make_crop_model(
             "crane", roster=pipe.roster,
             output_stride=getattr(args, "crane_stride", 4))
         crane_state = crop_loop.create_crop_train_state(
-            cfg, crane_model, jax.random.PRNGKey(0), args.crop)
+            cfg, crane_model, jax.random.PRNGKey(0), crane_crop)
         cmgr = checkpoint.CheckpointManager(args.crane_crop_ckpt, save_every=0)
         crane_state = cmgr.restore(crane_state)
         cmgr.close()
         pb, ps = eval_pipeline.best_part_boxes(det["boxes"], det["scores"])
         cout = eval_pipeline.evaluate_crop_crane_6dof(
             batch, pipe.roster, pipe.intr, crane_model, crane_state.params,
-            args.crop, per_part=True, part_boxes=pb, part_scores=ps)
+            crane_crop, per_part=True, part_boxes=pb, part_scores=ps)
         parts = " ".join(
             f"{p.replace('crane', '')}={float(cout[f'add_0_1d_{p}']):.2f}"
             for p in ("cranebase", "cranecolumn", "craneboom",
@@ -636,12 +637,13 @@ def cmd_infer(args) -> None:
     m = checkpoint.CheckpointManager(args.crop_ckpt, save_every=0)
     crop_state = m.restore(crop_state); m.close()
     crane_model = crane_params = None
+    crane_crop = getattr(args, "crane_crop", None) or args.crop
     if args.crane_crop_ckpt:
         crane_model = crop_loop.make_crop_model(
             "crane", roster=pipe.roster,
             output_stride=getattr(args, "crane_stride", 4))
         crane_state = crop_loop.create_crop_train_state(
-            cfg, crane_model, jax.random.PRNGKey(0), args.crop)
+            cfg, crane_model, jax.random.PRNGKey(0), crane_crop)
         m = checkpoint.CheckpointManager(args.crane_crop_ckpt, save_every=0)
         crane_state = m.restore(crane_state); m.close()
         crane_params = crane_state.params
@@ -699,7 +701,7 @@ def cmd_infer(args) -> None:
             part_vis = ps >= args.det_threshold
             cuv, csc, cw = eval_pipeline.crane_part_keypoints(
                 rgb, pb, part_vis, pipe.roster, crane_model, crane_params,
-                crop_size=args.crop)
+                crop_size=crane_crop)
             s0, Kp = crop_loop.crane_channels(pipe.roster)
             kpts_local = jnp.asarray(pipe.roster.inst_kpts[s0:s0 + 4, :Kp])
             cx = pnp_ops.normalize_pixels(cuv, intr.fx, intr.fy,
@@ -964,6 +966,9 @@ def main() -> None:
                          "for small classes (human/cone) at ~2x head cost")
     td.add_argument("--crane-stride", type=int, default=4, choices=[2, 4],
                     help="output stride the crane crop ckpt was trained at")
+    td.add_argument("--crane-crop", type=int, default=None,
+                    help="crop size the crane crop ckpt was trained at "
+                         "(default: --crop)")
     td.add_argument("--n-humans", type=int, default=1,
                     help="workers per training/eval scene (more positives "
                          "for the small-class detector head)")
@@ -1018,6 +1023,9 @@ def main() -> None:
                           "(pairs with seq-eval)")
     inf.add_argument("--crane-stride", type=int, default=4, choices=[2, 4],
                      help="output stride the crane crop ckpt was trained at")
+    inf.add_argument("--crane-crop", type=int, default=None,
+                     help="crop size the crane crop ckpt was trained at "
+                          "(default: --crop)")
     inf.add_argument("--track", action="store_true",
                      help="assign track_ids across frames (greedy same-class "
                           "IoU) and EMA-smooth accepted poses in the world "

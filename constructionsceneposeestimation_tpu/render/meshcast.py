@@ -91,8 +91,11 @@ def load_skin(path: str = SKIN_NPZ):
     if not os.path.exists(path):
         return None
     z = np.load(path)
+    # aabb_lo/aabb_hi stay in the npz (make_worker_skin.py bakes them) but
+    # are no longer loaded: the sweep culls on exact per-block posed-vertex
+    # bounds, so conservative rest-pose boxes have no consumer.
     return {k: z[k] for k in ("verts", "faces", "bone_ids", "weights",
-                              "v_loc", "aabb_lo", "aabb_hi")}
+                              "v_loc")}
 
 
 def load_templates(path: str | None = None
@@ -152,9 +155,9 @@ def _aabb_hit_any(ray_o: Array, ray_d: Array, lo: Array, hi: Array) -> Array:
 def make_mesh_caster(roster: world_mod.Roster,
                      templates: Dict[str, Tuple[np.ndarray, np.ndarray]] | None = None,
                      classes: Sequence[str] = DEFAULT_CLASSES,
-                     tri_block: int = 512, tile: int = 1024,
+                     tri_block: int | None = None, tile: int | None = None,
                      grid_hw: Tuple[int, int] | None = None,
-                     chunk: int | None = None, tile_group: int = 8):
+                     chunk: int | None = None, tile_group: int | None = None):
     """Culled triangle sweep over every roster instance of ``classes`` that
     has a baked template. Returns None when nothing is meshable, else a
     callable ``packed(world, ray_o (3,), ray_d (N, 3)) -> packed f32 (N,)``
@@ -178,12 +181,25 @@ def make_mesh_caster(roster: world_mod.Roster,
     so max ~ avg and the cull survives).
     """
     del chunk
-    # Sweepable without plumbing: the hifi bench tunes these on-chip.
-    tri_block = int(os.environ.get("CSPE_HIFI_TRI_BLOCK", tri_block))
-    tile = int(os.environ.get("CSPE_HIFI_TILE", tile))
-    tile_group = int(os.environ.get("CSPE_HIFI_TILE_GROUP", tile_group))
+    # CSPE_HIFI_* env vars are on-chip sweep knobs, but only as DEFAULTS: an
+    # explicitly passed argument always wins (a leaked sweep variable must
+    # not silently change tests/benches that pin their shapes — ADVICE r4).
+    def _knob(val, env, default):
+        if val is not None:
+            return int(val)
+        if env in os.environ:
+            v = int(os.environ[env])
+            print(f"meshcast: {env}={v} overrides default {default}")
+            return v
+        return default
+    tri_block = _knob(tri_block, "CSPE_HIFI_TRI_BLOCK", 512)
+    tile = _knob(tile, "CSPE_HIFI_TILE", 1024)
+    tile_group = _knob(tile_group, "CSPE_HIFI_TILE_GROUP", 8)
+    if int(math.isqrt(tile)) ** 2 != tile:
+        raise ValueError(f"tile={tile} must be a perfect square (square "
+                         f"image tiles: th = tw = isqrt(tile))")
     templates = load_templates() if templates is None else templates
-    groups = []  # (verts, faces_padded, ids, n_blocks_per_inst, lo, hi, skin)
+    groups = []  # (verts, faces_padded, ids, n_blocks_per_inst, skin)
     n_tri_true = 0
     for cls in classes:
         skin = load_skin() if cls == "human" else None
@@ -206,19 +222,16 @@ def make_mesh_caster(roster: world_mod.Roster,
                 "bone_ids": np.asarray(skin["bone_ids"]),   # (V, 2) static
                 "bone_rows": np.asarray(bone_rows),         # (I, B) static
             }
-            lo, hi = skin["aabb_lo"], skin["aabb_hi"]
         else:
             v, f = templates[cls]
             skin_jnp = None
-            lo, hi = v.min(0), v.max(0)
         f = _morton_sort_faces(np.asarray(v), f)
         n_tri_true += len(f) * len(ids)
         nb = -(-len(f) // tri_block)
         pad = nb * tri_block - len(f)
         # pad with degenerate [0,0,0] triples: zero-area -> det 0 -> miss
         fp = np.concatenate([f, np.zeros((pad, 3), np.int32)])
-        groups.append((jnp.asarray(v), fp, np.asarray(ids), nb,
-                       lo, hi, skin_jnp))
+        groups.append((jnp.asarray(v), fp, np.asarray(ids), nb, skin_jnp))
     if not groups:
         return None
 
@@ -228,7 +241,7 @@ def make_mesh_caster(roster: world_mod.Roster,
 
     # Per-block packed code (one owning instance per block).
     codes = []
-    for _, fp, ids, nb, _, _, _skin in groups:
+    for _, fp, ids, nb, _skin in groups:
         for inst in ids:
             codes.append(np.full(nb * tri_block, inst + 2, np.int32))
     codes_all = np.concatenate(codes)
@@ -241,7 +254,7 @@ def make_mesh_caster(roster: world_mod.Roster,
         """Per-tri world corners as (n_blocks, tri_block, 3) x3."""
         inst_rot, inst_pos = world["inst_rot"], world["inst_pos"]
         c0s, c1s, c2s = [], [], []
-        for verts, fp, ids, nb, _, _, skin in groups:
+        for verts, fp, ids, nb, skin in groups:
             if skin is not None:
                 # Two-bone LBS against the posed per-prim world transforms
                 # (the human's capsules ARE the bones — load_skin docstring).
@@ -284,6 +297,12 @@ def make_mesh_caster(roster: world_mod.Roster,
         # cover the skinned worker for free (no conservative bone inflation).
         blk_lo = jnp.minimum(jnp.minimum(c0, c1), c2).min(axis=1)  # (nb, 3)
         blk_hi = jnp.maximum(jnp.maximum(c0, c1), c2).max(axis=1)
+        # Inflate by a relative epsilon: the boxes are EXACT f32 bounds, so a
+        # ray grazing a silhouette triangle could pass Möller–Trumbore yet
+        # miss the slab test by an ulp and be culled (ADVICE r4).
+        eps = 1e-5 * jnp.max(blk_hi - blk_lo, axis=-1, keepdims=True)
+        blk_lo = blk_lo - eps
+        blk_hi = blk_hi + eps
 
         def tile_fn(rd):
             rel_blk = _aabb_hit_any(ray_o, rd, blk_lo, blk_hi)  # (n_blocks,)
@@ -361,7 +380,7 @@ def make_mesh_caster(roster: world_mod.Roster,
 def make_hifi_caster(roster: world_mod.Roster, scene_cfg=None,
                      templates=None, classes: Sequence[str] = DEFAULT_CLASSES,
                      chunk: int = 16384, grid_hw: Tuple[int, int] | None = None,
-                     tile: int = 1024):
+                     tile: int | None = None):
     """Composite caster: baked CAD triangles for meshable classes + the
     analytic prim sweep for everything else. Drop-in for
     raycast.make_raycaster's return — render_frame needs no changes.
