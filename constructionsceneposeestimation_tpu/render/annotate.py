@@ -300,6 +300,7 @@ def render_frame(
         # differences); everything after the cancellation is cast.
         albedo = (px_tab[0].astype(sdt), px_tab[1].astype(sdt),
                   px_tab[2].astype(sdt))
+        nr = None  # image-texture normal/roughness planes (set below)
         if use_fused:
             pass
         elif procedural_textures:
@@ -326,17 +327,27 @@ def render_frame(
                 # Image-texture tier: the reference's REAL texture images as
                 # low-rank MXU contractions (render/textures.py). Off on the
                 # headline datagen path; on for --image-textures / hifi/viz.
+                # with_nr: the packed normal/roughness composites perturb
+                # the shading normal + add a roughness specular (ask: the
+                # MDL channels of bark3.mdl:7-42) — RGB-only, label-neutral.
                 from . import textures as tex_mod
-                albedo = tex_mod.apply_image_textures(
+                albedo, nr = tex_mod.apply_image_textures(
                     albedo, lx, ly, lz, pwx.astype(sdt), pwy.astype(sdt),
                     px_tab[15].astype(sdt), texture_factors,
-                    tex_phase=lighting.tex_phase)
+                    tex_phase=lighting.tex_phase, with_nr=True)
             # Force ONE evaluation of the pattern chain: the three RGB
             # fusion roots in shade() otherwise each re-compute the full
             # albedo DAG (sqrt/sin/floor + ~24 selects) — measured 1.35x on
             # the end-to-end pipeline (69 -> 51 ms per 64-frame batch).
             if "barrier" not in rgb_ablate:
-                albedo = jax.lax.optimization_barrier(albedo)
+                if nr is not None:
+                    albedo, nr = jax.lax.optimization_barrier((albedo, nr))
+                else:
+                    albedo = jax.lax.optimization_barrier(albedo)
+            if nr is not None:
+                # Perturb after the barrier so the perturbed-normal DAG is
+                # evaluated once, not per channel fusion root.
+                normal = sh.perturb_normal(normal, nr[0], nr[1])
             # Contact AO on ground pixels: ambient falls off toward each
             # instance's footprint (cheap grounding cue; the hard sun shadow
             # is the optional sun_shadows sweep). Row set: _ao_table.
@@ -377,7 +388,9 @@ def render_frame(
                                   (rdx, rdy, rdz), albedo, lighting, shadow_t,
                                   ao=ao,
                                   texture_strength=(
-                                      0.0 if "hash" in rgb_ablate else 0.15))
+                                      0.0 if "hash" in rgb_ablate else 0.15),
+                                  rough=None if nr is None else nr[2],
+                                  spec_w=None if nr is None else nr[3])
             rgb = sh.linear_to_srgb_u8(rgb_planes, H, W,
                                        gamma="gamma" not in rgb_ablate)
     else:

@@ -138,6 +138,39 @@ def procedural_albedo(
     return out
 
 
+def perturb_normal(normal: Planes3, du: Array, dv: Array,
+                   strength: float = 0.6) -> Planes3:
+    """Tangent-space normal perturbation from sampled normal-map offsets.
+
+    The proxies carry no UV tangent charts, so the tangent frame is the
+    standard chart-free construction: t1 = n x up (x-axis fallback near the
+    poles), t2 = n x t1. ``du``/``dv`` are [-1, 1] offsets already weighted
+    by the per-pixel map weight (textures.apply_image_textures with_nr), so
+    unmapped pixels (du = dv = 0) return the input normal exactly up to the
+    renormalize (which is exact for unit inputs). RGB-only: labels never
+    read normals."""
+    nx, ny, nz = normal
+    dt = nx.dtype
+    # t1 = normalize(n x up), up = +z -> (ny, -nx, 0); degenerate when the
+    # normal is vertical: fall back to +x.
+    mag = jnp.sqrt(nx * nx + ny * ny)
+    deg = mag < 1e-4
+    inv = 1.0 / jnp.where(deg, jnp.asarray(1.0, dt), mag)
+    t1x = jnp.where(deg, jnp.asarray(1.0, dt), ny * inv)
+    t1y = jnp.where(deg, jnp.asarray(0.0, dt), -nx * inv)
+    t1z = jnp.zeros_like(nx)
+    # t2 = n x t1.
+    t2x = ny * t1z - nz * t1y
+    t2y = nz * t1x - nx * t1z
+    t2z = nx * t1y - ny * t1x
+    s = jnp.asarray(strength, dt)
+    px = nx + s * (du * t1x + dv * t2x)
+    py = ny + s * (du * t1y + dv * t2y)
+    pz = nz + s * (du * t1z + dv * t2z)
+    rn = 1.0 / jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-12))
+    return (px * rn, py * rn, pz * rn)
+
+
 def shade(
     t: Array,  # (N,) hit distance, +inf on miss
     normal: Planes3,  # (N,) world-frame normal planes
@@ -148,6 +181,8 @@ def shade(
     shadow_t: Array | None = None,
     texture_strength: float = 0.15,
     ao: Array | None = None,
+    rough: Array | None = None,  # (N,) roughness in [0, 1] (image-tex tier)
+    spec_w: Array | None = None,  # (N,) specular weight (0 = no response)
 ) -> Planes3:
     """Shade rays -> linear RGB planes in [0, 1], (N,) each.
 
@@ -188,6 +223,26 @@ def shade(
     up = jnp.clip(cast(ray_d[2]), 0.0, 1.0)
     sky_base = (0.85 + 0.15 * up) * jnp.maximum(dome_i, 0.3)
 
+    spec = None
+    if rough is not None and spec_w is not None:
+        # Blinn-Phong roughness response (the MDL reflection_roughness
+        # channel the reference binds, bark3.mdl:16-24): half-vector of the
+        # sun and view directions; exponent from roughness so matte fabric
+        # (r ~ 0.8) gets a broad sheen and smooth leaf (r ~ 0.3) a tight
+        # highlight. Weighted by spec_w — 0 where no map applies, keeping
+        # those pixels bit-identical to the rough=None path after the final
+        # add of an exact 0.
+        r = cast(rough)
+        hx = -cast(ray_d[0]) - sd[0]
+        hy = -cast(ray_d[1]) - sd[1]
+        hz = -cast(ray_d[2]) - sd[2]
+        hn = 1.0 / jnp.sqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-12))
+        ndoth = jnp.maximum((nx * hx + ny * hy + nz * hz) * hn, 0.0)
+        shin = 2.0 / jnp.maximum(r * r, 0.02)
+        gloss = jnp.square(1.0 - r)
+        spec = (cast(spec_w) * gloss * cast(lighting.sun_intensity) * lit
+                * jnp.power(ndoth, shin))
+
     dome_c = cast(lighting.dome_color)
     # NOTE: tex/direct/ambient/sky_base feed all three channel fusion roots
     # below, but a lax.optimization_barrier here measured NEUTRAL on the real
@@ -197,6 +252,8 @@ def shade(
     out = []
     for ch, alb in enumerate(albedo):
         color = (alb * tex) * (direct + ambient * dome_c[ch])
+        if spec is not None:
+            color = color + spec
         color = jnp.where(is_hit, color, dome_c[ch] * sky_base)
         out.append(jnp.clip(color, 0.0, 1.0))
     return tuple(out)

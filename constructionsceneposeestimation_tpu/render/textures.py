@@ -40,9 +40,15 @@ Planes3 = Tuple[Array, Array, Array]
 _DATA = os.path.join(os.path.dirname(__file__), "..", "..", "data",
                      "texture_factors.npz")
 
-# Fixed slot order (build_texture_atlas.SOURCES); index = tex id at runtime.
+# Fixed slot order (build_texture_atlas.SOURCES + NR_SOURCES); index = tex
+# id at runtime. The *_nr slots pack [nx, ny, roughness] composites (normal
+# z reconstructed at runtime) — the material channels the reference's MDL
+# binds (cad_models/tree/materials/bark3.mdl:7-42) from the images that
+# genuinely ship (the per-garment {ao,normal,curvature,seam} sets, color
+# charts and microskin sources are LFS stubs upstream — PARITY.md).
 TEX = {"bark": 0, "branches": 1, "leaf": 2, "bark_rough": 3,
-       "twill": 4, "denim": 5, "ground": 6, "dirt": 7}
+       "twill": 4, "denim": 5, "ground": 6, "dirt": 7, "cot_ox": 8,
+       "denim_nr": 9, "cot_ox_nr": 10, "twill_nr": 11, "leaf_nr": 12}
 
 
 class TextureFactors(NamedTuple):
@@ -112,7 +118,8 @@ def apply_image_textures(
     class_id: Array,  # (N,) f32 taxonomy class (-1 ground, -2 sky)
     factors: TextureFactors,
     tex_phase: Array | float = 0.0,  # DR offset (sample/lighting.py jitter)
-) -> Planes3:
+    with_nr: bool = False,
+):
     """Class-conditioned image texturing over the procedural base.
 
     Mapping (all UVs from local/world coordinate planes — the proxies carry
@@ -123,9 +130,16 @@ def apply_image_textures(
       tree (1) trunk: `bark` cylindrical, ambient scaled by `bark_rough`
       tree (1) crown: `leaf` + `branches` planar tiles, 50% blend
       dumper (4) low: `dirt` grime mask modulates the existing two-tone
-      human (5) vest: `twill` fabric weave modulates the hi-vis band
-      human (5) body: `denim` planar wrap, 50% blend
-    """
+      human (5) legs:  `denim` cargo-pant wrap, 50% blend
+      human (5) vest:  `twill` fabric weave modulates the hi-vis band
+      human (5) chest: `cot_ox` cotton-oxford shirt, 60% blend
+
+    ``with_nr=True`` additionally samples the packed [nx, ny, roughness]
+    composites (`*_nr` slots) for the surfaces that ship normal/roughness
+    maps (leaf crown, denim/twill/cot_ox fabrics) and returns
+    ``(albedo, (du, dv, rough, w_nr))``: tangent-space normal offsets in
+    [-1, 1], roughness in [0, 1], and a per-pixel weight that is 0 where no
+    map applies. Labels never read any of this (geometry-only)."""
     one = jnp.ones_like(lx)
     r_xy = jnp.sqrt(lx * lx + ly * ly)
     theta = jnp.arctan2(ly, lx) * (0.5 / np.pi) + 0.5  # [0, 1)
@@ -160,11 +174,13 @@ def apply_image_textures(
 
     is_human = class_id == 5.0
     vest = is_human & (lz > 1.02) & (lz < 1.48)
-    body = is_human & ~vest
+    legs = is_human & (lz <= 1.02)
+    shirt = is_human & (lz >= 1.48) & (lz < 1.58)  # shoulders/upper chest
     # Fabric weave modulates (multiplies) rather than replaces the hi-vis
     # color: sample grayscale twill, blend toward albedo*twill.
     place(vest, theta * 4.0 + phase, lz * 2.0, TEX["twill"], 0.0)  # w below
-    place(body, theta * 2.0 + phase, lz * 1.2, TEX["denim"], 0.5)
+    place(legs, theta * 2.0 + phase, lz * 1.2, TEX["denim"], 0.5)
+    place(shirt, theta * 3.0 + phase, lz * 1.6, TEX["cot_ox"], 0.6)
 
     tex_rgb = sample(factors, u, v, tex.astype(jnp.int32))
 
@@ -173,5 +189,24 @@ def apply_image_textures(
     # above, so _mix left the hi-vis base) modulates instead of replacing —
     # the EN ISO hue survives, the weave structure shows.
     weave = 0.6 + 0.8 * tex_rgb[0]
-    return tuple(jnp.where(vest, a * weave, o)
-                 for a, o in zip(albedo, out))
+    out = tuple(jnp.where(vest, a * weave, o)
+                for a, o in zip(albedo, out))
+    if not with_nr:
+        return out
+
+    # Normal/roughness composite sample — same UVs, the matching *_nr slot.
+    # One extra sample() pair covers every mapped surface; weight 0 elsewhere
+    # keeps the un-mapped pixels' shading bit-identical (du=dv=0, w_nr=0).
+    crown = (class_id == 1.0) & ~((r_xy < 0.45) & (lz < 3.2))
+    nr_tex = jnp.zeros_like(class_id)
+    w_nr = jnp.zeros_like(lx)
+    for mask, tid, ww in ((crown, TEX["leaf_nr"], 0.8),
+                          (legs, TEX["denim_nr"], 1.0),
+                          (vest, TEX["twill_nr"], 1.0),
+                          (shirt, TEX["cot_ox_nr"], 1.0)):
+        nr_tex = jnp.where(mask, float(tid), nr_tex)
+        w_nr = jnp.where(mask, ww, w_nr)
+    nx_s, ny_s, rough = sample(factors, u, v, nr_tex.astype(jnp.int32))
+    du = (2.0 * nx_s - 1.0) * w_nr
+    dv = (2.0 * ny_s - 1.0) * w_nr
+    return out, (du, dv, rough, w_nr)

@@ -94,6 +94,59 @@ def test_render_with_image_textures_changes_rgb_only(factors):
             assert not changed[inst == i].any(), names[i]
 
 
+def test_nr_sample_decodes_normal_and_roughness(factors):
+    """The *_nr composite slots carry [nx, ny, roughness]: sampling
+    bin centers must reproduce the rank-K reconstruction of the packed
+    composite built from the shipped normal + roughness images."""
+    import tools.build_texture_atlas as bta
+
+    bins = factors.bins
+    name, npth, rpth, rch = bta.NR_SOURCES[0]  # denim_nr
+    img = bta.load_nr(npth, rpth, rch, bins)
+    uu, vv = np.meshgrid(np.arange(bins), np.arange(bins), indexing="ij")
+    u = jnp.asarray((uu.reshape(-1) + 0.5) / bins, jnp.float32)
+    v = jnp.asarray((vv.reshape(-1) + 0.5) / bins, jnp.float32)
+    s = tx.sample(factors, u, v,
+                  jnp.full(bins * bins, tx.TEX[name], jnp.int32))
+    rec = np.stack([np.asarray(c).reshape(bins, bins) for c in s], -1)
+    rmse = float(np.sqrt(np.mean((rec - np.clip(img, 0, 1)) ** 2)))
+    assert rmse < 0.05, rmse
+    # A normal map encodes (n+1)/2: its mean must sit near 0.5 on x/y.
+    assert 0.35 < rec[..., 0].mean() < 0.65
+    assert 0.35 < rec[..., 1].mean() < 0.65
+
+
+def test_apply_with_nr_weights_and_perturb(factors):
+    """with_nr returns zero offsets/weights off the mapped surfaces, and
+    perturb_normal leaves unmapped pixels' normals exactly unit/unchanged."""
+    from constructionsceneposeestimation_tpu.render import shading as sh
+
+    n = 64
+    lx = jnp.linspace(-1, 1, n)
+    ly = jnp.zeros(n)
+    lz = jnp.linspace(0.0, 2.0, n)
+    cls = jnp.full(n, 5.0)  # human: legs/vest/shirt bands by lz
+    alb = (jnp.full(n, 0.5),) * 3
+    out, (du, dv, rough, w_nr) = tx.apply_image_textures(
+        alb, lx, ly, lz, lx, ly, cls, factors, with_nr=True)
+    w = np.asarray(w_nr)
+    z = np.asarray(lz)
+    assert (w[z <= 1.58] == 1.0).all()  # legs+vest+shirt all mapped
+    assert (w[z > 1.58] == 0.0).all()   # head unmapped
+    assert (np.asarray(du)[w == 0.0] == 0.0).all()
+    # Ground pixels: no NR map.
+    _, (_, _, _, w_g) = tx.apply_image_textures(
+        alb, lx, ly, lz, lx, ly, jnp.full(n, -1.0), factors, with_nr=True)
+    assert (np.asarray(w_g) == 0.0).all()
+    # perturb_normal: zero offsets keep the normal; nonzero stays unit.
+    nrm = (jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
+    px, py, pz = sh.perturb_normal(nrm, jnp.zeros(n), jnp.zeros(n))
+    np.testing.assert_allclose(np.asarray(pz), 1.0, atol=1e-6)
+    px, py, pz = sh.perturb_normal(nrm, du, dv)
+    np.testing.assert_allclose(
+        np.asarray(px ** 2 + py ** 2 + pz ** 2), 1.0, atol=1e-5)
+
+
 def test_pipeline_image_textures_flag():
     from constructionsceneposeestimation_tpu.config import PipelineConfig
     from constructionsceneposeestimation_tpu.parallel import (
