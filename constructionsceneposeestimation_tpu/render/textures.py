@@ -179,10 +179,25 @@ def apply_image_textures(
     # Fabric weave modulates (multiplies) rather than replaces the hi-vis
     # color: sample grayscale twill, blend toward albedo*twill.
     place(vest, theta * 4.0 + phase, lz * 2.0, TEX["twill"], 0.0)  # w below
-    place(legs, theta * 2.0 + phase, lz * 1.2, TEX["denim"], 0.5)
-    place(shirt, theta * 3.0 + phase, lz * 1.6, TEX["cot_ox"], 0.6)
+    place(legs, theta * 2.0 + phase, lz * 1.2, TEX["denim"], 1.0)
+    place(shirt, theta * 3.0 + phase, lz * 1.6, TEX["cot_ox"], 1.0)
 
     tex_rgb = sample(factors, u, v, tex.astype(jnp.int32))
+
+    # Garment tints: the shipped fabric diffuses are channel-packed
+    # GRAYSCALE (R = diff); the color charts that would colorize them are
+    # LFS stubs upstream (PARITY.md), so the tier tints them to standard
+    # work-wear colors in linear space — tint = target_color / mean_gray
+    # (measured means: denim 0.096, cot_ox 0.328), making the garment zones
+    # REPLACE the base albedo (w=1) with [target hue x fabric structure].
+    one3 = jnp.ones_like(lx)
+    tint = [one3, one3, one3]
+    for mask, col in ((legs, (0.83, 1.15, 2.90)),     # indigo cargo pants
+                      (shirt, (0.95, 1.08, 1.33))):   # blue-gray oxford
+        tint = [jnp.where(mask, jnp.asarray(c, lx.dtype), t_)
+                for c, t_ in zip(col, tint)]
+    tex_rgb = tuple(jnp.clip(t_ * s, 0.0, 1.0)
+                    for t_, s in zip(tint, tex_rgb))
 
     out = _mix(albedo, tex_rgb, w)
     # Multiplicative fabric weave on the vest band: the twill sample (w=0

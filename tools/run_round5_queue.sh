@@ -71,10 +71,13 @@ timeout 4500 python -m constructionsceneposeestimation_tpu.cli train-crop \
   --ckpt-dir /root/repo/artifacts/ck_crop \
   > $R/crop_dumper.log 2>&1
 
-# 2. Crane per-part crop stage at --crop 192 (render stays 512). 16k steps:
-#    the round-3 square-ROI run converged by 16k (0.749 == round-4 20k rect).
-timeout 13500 python -m constructionsceneposeestimation_tpu.cli train-crop \
-  --cls crane --per-part --stride 2 --steps 16000 --crop 192 \
+# 2. Crane per-part crop stage at --crop 192 (render stays 512). 12k steps
+#    (wall-clock budget: the whole from-scratch queue must land inside one
+#    round — a finished 12k row with committed evidence beats a timed-out
+#    16k; the trainer restores from latest, so a later +4k finetune is one
+#    command).
+timeout 11000 python -m constructionsceneposeestimation_tpu.cli train-crop \
+  --cls crane --per-part --stride 2 --steps 12000 --crop 192 \
   --save-every 2000 \
   --ckpt-dir /root/repo/artifacts/ck_crane_c192 \
   > $R/crop_crane_c192.log 2>&1
@@ -104,20 +107,10 @@ timeout 9000 python -m constructionsceneposeestimation_tpu.cli train-detect \
   --det-analysis \
   > $R/detect768.log 2>&1
 
-# 5. Stage-1 single-shot capacity run: 24k -> 32k (dumper DR bar 0.6).
-timeout 10800 python -m constructionsceneposeestimation_tpu.cli train-eval \
-  --steps 32000 --size 512 --camera-mix 0.3 --save-every 4000 \
-  --ckpt-dir /root/repo/artifacts/ck_stage1 \
-  > $R/stage1.log 2>&1
-
-# 5b. Ladder-eval rows from the finished stage-1 ckpt (eval-only restore).
-timeout 3600 python -m constructionsceneposeestimation_tpu.cli train-eval \
-  --steps 32000 --size 512 --camera-mix 0.3 --eval-ladder \
-  --ckpt-dir /root/repo/artifacts/ck_stage1 \
-  > $R/stage1_ladder.log 2>&1
-
-# 6. Temporal metrics at 20 clips x 30 frames (round-4 row was 4 clips
+# 5. Temporal metrics at 20 clips x 30 frames (round-4 row was 4 clips
 #    quoted to 3 digits; dispersion machinery landed in eval/sequence_metrics).
+#    Runs BEFORE stage-1: cheaper and a named VERDICT ask; stage-1 is the
+#    least-certain bar and is sacrificial if the round clock runs out.
 timeout 3600 python -m constructionsceneposeestimation_tpu.cli infer \
   --det-ckpt /root/repo/artifacts/ck_det --det-stride 2 \
   --crop-ckpt /root/repo/artifacts/ck_crop \
@@ -128,5 +121,11 @@ timeout 3600 python -m constructionsceneposeestimation_tpu.cli infer \
 timeout 1800 python -m constructionsceneposeestimation_tpu.cli seq-eval \
   --poses /root/repo/results/clips_r5.jsonl --sequence-len 30 \
   > $R/seqeval_r5.log 2>&1
+
+# 6. Stage-1 single-shot capacity run: 24k -> 32k (dumper DR bar 0.6).
+timeout 10800 python -m constructionsceneposeestimation_tpu.cli train-eval \
+  --steps 32000 --size 512 --camera-mix 0.3 --save-every 4000 \
+  --ckpt-dir /root/repo/artifacts/ck_stage1 \
+  > $R/stage1.log 2>&1
 
 echo QUEUE5_DONE

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--worker", action="store_true",
+                    help="close-up on the worker: camera 3.5 m from the "
+                         "human instance (round-5 fabric albedo + "
+                         "normal/roughness side-by-side)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -54,10 +58,20 @@ def main():
         from constructionsceneposeestimation_tpu.scene import world as world_mod
         world = world_mod.build_world(pipe.roster, pose)
         lit = lmod.sample_lighting(k_light, cfg.lighting)
+        cam, tgt = cams[i % len(cams)], tgts[i % len(tgts)]
+        if args.worker:
+            # Aim 3.5 m from the (first) human instance at chest height,
+            # azimuth varying per frame.
+            hidx = int(np.argmax(pipe.roster.inst_class_id == 5))
+            hpos = world["inst_pos"][hidx]
+            ang = 2.3 + 0.9 * jnp.asarray(i, jnp.float32)
+            off = jnp.stack([2.2 * jnp.cos(ang), 2.2 * jnp.sin(ang),
+                             jnp.asarray(1.3, jnp.float32)])
+            tgt = hpos + jnp.asarray([0.0, 0.0, 1.1])
+            cam = hpos + off
         ann = annotate.render_frame(
-            pipe.roster, pipe.caster, world, cams[i % len(cams)],
-            tgts[i % len(tgts)], pipe.intr, lighting=lit,
-            procedural_textures=textures,
+            pipe.roster, pipe.caster, world, cam, tgt, pipe.intr,
+            lighting=lit, procedural_textures=textures,
             texture_factors=factors if image_tex else None)
         return ann.rgb
 
