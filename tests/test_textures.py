@@ -147,6 +147,31 @@ def test_apply_with_nr_weights_and_perturb(factors):
         np.asarray(px ** 2 + py ** 2 + pz ** 2), 1.0, atol=1e-5)
 
 
+def test_shade_zero_spec_weight_is_bit_identical():
+    """shade() with rough/spec_w planes of weight 0 must equal rough=None
+    exactly — the per-pixel-weighted claim in render/shading.py."""
+    from constructionsceneposeestimation_tpu.render import shading as sh
+
+    n = 128
+    k = jax.random.PRNGKey(0)
+    t = jnp.abs(jax.random.normal(k, (n,))) * 10 + 1
+    nrm = (jnp.full(n, 0.1), jnp.full(n, 0.2),
+           jnp.full(n, np.sqrt(1 - 0.01 - 0.04)))
+    pos = (jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
+    ray = (jnp.full(n, 0.6), jnp.zeros(n), jnp.full(n, -0.8))
+    alb = (jnp.full(n, 0.5), jnp.full(n, 0.4), jnp.full(n, 0.3))
+    lit = sh.default_lighting()
+    base = sh.shade(t, nrm, pos, ray, alb, lit)
+    spec0 = sh.shade(t, nrm, pos, ray, alb, lit,
+                     rough=jnp.full(n, 0.7), spec_w=jnp.zeros(n))
+    for a, b in zip(base, spec0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Nonzero weight DOES brighten sun-facing pixels.
+    spec1 = sh.shade(t, nrm, pos, ray, alb, lit,
+                     rough=jnp.full(n, 0.3), spec_w=jnp.ones(n))
+    assert float(jnp.max(spec1[0] - base[0])) > 1e-4
+
+
 def test_pipeline_image_textures_flag():
     from constructionsceneposeestimation_tpu.config import PipelineConfig
     from constructionsceneposeestimation_tpu.parallel import (
