@@ -85,8 +85,8 @@ timeout 11000 python -m constructionsceneposeestimation_tpu.cli train-crop \
 # 3. Detector, round-4 headline config (refreshes the stale README rows with
 #    a live checkpoint) + miss analysis + hifi transfer + two-stage evals
 #    against the crop ckpts from items 1-2.
-timeout 12600 python -m constructionsceneposeestimation_tpu.cli train-detect \
-  --steps 16000 --det-stride 2 --n-dumpers 2 --n-humans 3 --hifi-mix 4 \
+timeout 9600 python -m constructionsceneposeestimation_tpu.cli train-detect \
+  --steps 12000 --det-stride 2 --n-dumpers 2 --n-humans 3 --hifi-mix 4 \
   --save-every 2000 \
   --ckpt-dir /root/repo/artifacts/ck_det \
   --crop-ckpt /root/repo/artifacts/ck_crop \
@@ -98,8 +98,8 @@ timeout 12600 python -m constructionsceneposeestimation_tpu.cli train-detect \
 #    restore as-is). Humans at 15-30 m are ~5x20 px at 512 -> IoU-0.5 is
 #    scale-limited; 768 is the diagnosed lever for the P/R 0.7/0.7 bar.
 cp -r /root/repo/artifacts/ck_det /root/repo/artifacts/ck_det768
-timeout 9000 python -m constructionsceneposeestimation_tpu.cli train-detect \
-  --steps 20000 --size 768 --det-stride 2 --n-dumpers 2 --n-humans 3 \
+timeout 7200 python -m constructionsceneposeestimation_tpu.cli train-detect \
+  --steps 15000 --size 768 --det-stride 2 --n-dumpers 2 --n-humans 3 \
   --hifi-mix 4 --save-every 1000 \
   --ckpt-dir /root/repo/artifacts/ck_det768 \
   --crop-ckpt /root/repo/artifacts/ck_crop \
