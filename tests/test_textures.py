@@ -147,6 +147,23 @@ def test_apply_with_nr_weights_and_perturb(factors):
         np.asarray(px ** 2 + py ** 2 + pz ** 2), 1.0, atol=1e-5)
 
 
+def test_pipeline_hifi_plus_image_textures_compose():
+    """The two fidelity tiers compose: CAD-mesh hifi geometry + real-image
+    textures/NR in one pipeline (the --hifi --image-textures CLI path)."""
+    from constructionsceneposeestimation_tpu.config import PipelineConfig
+    from constructionsceneposeestimation_tpu.parallel import (
+        pipeline as pipeline_mod)
+
+    cfg = Config(pipeline=PipelineConfig(render_width=64, render_height=48,
+                                         batch_size=1))
+    pipe = pipeline_mod.Pipeline(cfg, vmap_chunk=1, hifi_mesh=True,
+                                 image_textures=True)
+    gen = jax.jit(pipe.make_generate_fn())
+    batch = gen(jax.random.PRNGKey(1), jnp.arange(1))
+    assert np.asarray(batch.rgb).std() > 5.0
+    assert np.isfinite(np.asarray(batch.center)).all()
+
+
 def test_shade_zero_spec_weight_is_bit_identical():
     """shade() with rough/spec_w planes of weight 0 must equal rough=None
     exactly — the per-pixel-weighted claim in render/shading.py."""
