@@ -48,6 +48,22 @@ def test_heatmap_pallas_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_heatmap_pallas_matches_reference_768_shape():
+    """The 768^2-input heatmap shape (192x192: width beyond one 128-lane
+    tile) — the config whose dynamic row window needed the round-5
+    sublane-align fix; semantics must still match the jnp reference."""
+    rng = np.random.RandomState(1)
+    n, C, H, W = 30, 6, 192, 192
+    uv = jnp.asarray(rng.uniform(-10, 200, (n, 2)).astype(np.float32))
+    ch = jnp.asarray(rng.randint(0, C, n), jnp.int32)
+    vis = jnp.asarray(rng.rand(n) > 0.3)
+    ref = heatmap.render_heatmaps(uv, ch, vis, C, H, W, sigma=2.0)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = heatmap.render_heatmaps_pallas(uv, ch, vis, C, H, W, sigma=2.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
 def test_soft_argmax_recovers_peak():
     uv = jnp.asarray([[40.25, 17.5]])
     hm = heatmap.render_heatmaps(uv, jnp.asarray([0], jnp.int32),
