@@ -116,10 +116,13 @@ def render_heatmaps_pallas(
     83x128x128); larger maps should drop to the jnp path or a spatially
     blocked variant.
     """
-    # VMEM guard: the per-frame heatmap must fit on-chip (~16 MB v5e). Larger
-    # maps fall back to the jnp path (or add spatial blocking if this becomes
-    # a hot config).
-    if num_channels * height * width * 4 > 12 * 1024 * 1024:
+    # VMEM guard: the per-frame heatmap block must fit on-chip TWICE (Mosaic
+    # double-buffers the output window) alongside working registers — ~16 MB
+    # v5e total, so the block itself must stay under ~8 MB. The 768^2 detect
+    # eval (71 x 192 x 192 = 10.5 MB) sat between the old 12 MB guard and
+    # reality and OOM'd VMEM at compile; larger maps now fall back to the
+    # equivalence-pinned jnp path (eval-only cost at current configs).
+    if num_channels * height * width * 4 > 8 * 1024 * 1024:
         return render_heatmaps(uv, channel, visible, num_channels, height,
                                width, sigma, stride) if uv.ndim == 2 else jax.vmap(
             lambda u, c, v: render_heatmaps(u, c, v, num_channels, height,
