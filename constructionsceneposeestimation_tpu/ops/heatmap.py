@@ -56,7 +56,7 @@ def render_heatmaps(
 
 
 def _heatmap_kernel(cnt_ref, u_ref, v_ref, ch_ref, out_ref, *, height, width,
-                    inv2s2, band):
+                    inv2s2, band, align):
     """Grid = (batch,). The whole (C, H, W) heatmap for the current frame
     stays resident in VMEM; a ``fori_loop`` with a DYNAMIC trip count (the
     frame's visible-keypoint tally, scalar-prefetched via SMEM) lays down one
@@ -79,14 +79,17 @@ def _heatmap_kernel(cnt_ref, u_ref, v_ref, ch_ref, out_ref, *, height, width,
         u = u_ref[0, 0, k]
         v = v_ref[0, 0, k]
         ch = ch_ref[0, 0, k]
-        # Sublane-aligned window start: Mosaic must statically prove the
-        # dynamic row index is a multiple of 8 (at hm widths beyond one
-        # 128-lane tile, e.g. 192 at 768^2 input, an unaligned vector.load
-        # start is a compile error). The (//8)*8 form is the provable
-        # pattern; ``band`` includes +8 rows of slack so aligning DOWN never
-        # drops the +4.25-sigma top edge of the Gaussian.
+        # Sublane-aligned window start (``align``): Mosaic must statically
+        # prove the dynamic row index is a multiple of 8 at hm widths beyond
+        # one 128-lane tile (e.g. 192 at 768^2 input — unaligned
+        # vector.load start is a compile error there). The (//8)*8 form is
+        # the provable pattern; ``band`` then includes +8 rows of slack so
+        # aligning DOWN never drops the +4.25-sigma top edge. At width <=
+        # 128 the unaligned form compiles and is kept — it is the program
+        # every headline bench number was measured on.
         y0 = jnp.clip(v.astype(jnp.int32) - band // 2, 0, height - band)
-        y0 = (y0 // 8) * 8
+        if align:
+            y0 = (y0 // 8) * 8
         # Mosaic requires integer iota; cast after.
         ys = (jax.lax.broadcasted_iota(jnp.int32, (band, width), 0) + y0).astype(jnp.float32)
         xs = jax.lax.broadcasted_iota(jnp.int32, (band, width), 1).astype(jnp.float32)
@@ -149,13 +152,15 @@ def render_heatmaps_pallas(
     ch = channel.astype(jnp.int32)[:, None, :]
     inv2s2 = 1.0 / (2.0 * sigma * sigma)
     # Row window covering +-4.25 sigma (beyond that exp < 1.3e-8 of peak),
-    # rounded to the sublane granule, +8 rows of slack so the kernel's
-    # align-down of the window start never drops the top edge.
+    # rounded to the sublane granule; wide maps (width > one 128-lane tile)
+    # need an 8-aligned window start, paid for with +8 rows of slack.
+    align = width > 128
     band = int(min(height,
-                   max(8, -((-2 * int(4.25 * sigma + 1)) // 8) * 8) + 8))
+                   max(8, -((-2 * int(4.25 * sigma + 1)) // 8) * 8)
+                   + (8 if align else 0)))
 
     kernel = functools.partial(_heatmap_kernel, height=height, width=width,
-                               inv2s2=inv2s2, band=band)
+                               inv2s2=inv2s2, band=band, align=align)
     smem = lambda k: pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
